@@ -1,38 +1,390 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: the full language-ID + quality gate over
+the sf0.001 ``documents`` table, rolled up to keep/drop counts per decision
+(the reference's /metrics/gate-paths view, SURVEY.md §2.6 A5).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2, runnable at any sf dir; oracle SQL is DuckDB-compatible
+ANSI SQL over the same parquet tables. Gate/scorer queries that need the
+Python model are exposed rows-only (no SQL equivalent by design).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from langid_mr_spark import constants as C  # noqa: E402
+from langid_mr_spark import gate  # noqa: E402
+from langid_mr_spark import scrub as SCRUB  # noqa: E402
+from langid_mr_spark.functions import exprs as X  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Gate the sf0.001 documents corpus → decision histogram (A5 analog)."""
+    return q_gate_decisions(spark, SF0001)
+
+
+def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cascade (SURVEY §2.5) over documents.text; model scoring runs in
+    iterator pandas UDFs — no SQL oracle (rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("lang", "src_lang")
+    gated = gate.apply_gate(docs, text_col="text")
+    return (
+        gated.groupBy("gate_decision", "keep")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("gate_decision")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator families (SURVEY §2.2 / §2.6) — DuckDB-oracled
+# ---------------------------------------------------------------------------
+
+def q_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (main.py:262-265): one-pass count per status."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_recent_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (main.py:270-280): events in the trailing 5 minutes of the table."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.join(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 5 MINUTES"))
+        .agg(F.count(F.lit(1)).alias("recent_cnt"))
+    )
+
+
+def q_top50_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (main.py:283-312): top-50 most recent orders → mean total price
+    (TakeOrderedAndProject, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")).limit(50)
+    return top.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+
+
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (main.py:343-367): per-type counts + share of total in one pass
+    (window over empty partition spec)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "pct", F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(w), 2)
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (cluster/dashboard.py:45-68): union → global sort desc → limit."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.unionByName(s).orderBy(F.desc("name")).limit(20)
+
+
+def q_orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (purge_db.py:77-108): left-anti join — customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_status_since_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 (main.py:777-809): status equality + date lower bound."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F")
+                & (F.col("o_orderdate") >= F.lit("1995-01-01")))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (main.py:624): key lookup with partition/min-max pruning."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (main.py:403-404): prefix/glob match on key."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").startswith("Customer#00000001"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_retention_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 (purge_db.py:40-68): retention selection — rows older than a
+    cutoff (the DELETE's predicate, expressed as its count)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-01-01"))
+        .agg(F.count(F.lit(1)).alias("purged"))
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (metrics.py:19-23): bucketed value histogram."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def q_json_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 (main.py:384-386): JSON field extraction + aggregate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text expression families (SURVEY §2.3) on documents — DuckDB-oracled
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (lang_gate.py:92-99): tokenizer — count + first token per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+    ).orderBy("doc_id")
+
+
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/A12 (lang_gate.py:102-108): per-doc EN stopword hits and ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        X.stopword_hits(toks, "en").alias("en_hits"),
+        X.stopword_ratio(toks, "en").alias("en_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 (utils.py:53-60): 10-word truncation with ellipsis."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.truncate_to_words(F.col("text"), 10).alias("truncated")
+    ).orderBy("doc_id")
+
+
+def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (runner.py:108): first-10-words snippet."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.snippet_first_words(F.col("text"), 10).alias("snippet")
+    ).orderBy("doc_id")
+
+
+def q_iso_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 (models/languages.py:35-65): ISO-639 projections, passthrough on
+    unknown codes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang"),
+            X.to_iso_code(F.col("lang"), "iso639-2b").alias("iso2b"),
+            X.to_iso_code(F.col("lang"), "iso639-2t").alias("iso2t"),
+            X.language_label(F.col("lang")).alias("label"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 (north_star): PII/toxicity scrub is a no-op on clean text —
+    asserted by comparing scrubbed output to input."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (SCRUB.scrub_col(F.col("text")) == F.col("text")).alias("unchanged"),
+    ).orderBy("doc_id")
+
+
+_EN_SW_SQL = ", ".join(f"'{w}'" for w in sorted(C.EN_STOPWORDS))
+_TOKENIZE_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\w'']+'), "
+    "x -> x <> '')"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gate_decisions": q_gate_decisions,       # rows-only (model UDFs)
+        "count_by_status": q_count_by_status,
+        "recent_window_count": q_recent_window_count,
+        "top50_avg": q_top50_avg,
+        "pct_of_total": q_pct_of_total,
+        "union_sort_limit": q_union_sort_limit,
+        "orphan_anti_join": q_orphan_anti_join,
+        "status_since_filter": q_status_since_filter,
+        "point_lookup": q_point_lookup,
+        "prefix_match": q_prefix_match,
+        "retention_cutoff": q_retention_cutoff,
+        "histogram": q_histogram,
+        "json_pluck": q_json_pluck,
+        "token_stats": q_token_stats,
+        "stopword_ratio": q_stopword_ratio,
+        "truncate": q_truncate,
+        "snippet": q_snippet,
+        "iso_mapping": q_iso_mapping,
+        "scrub": q_scrub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "count_by_status": (
+            "SELECT o_orderstatus AS status, count(*) AS cnt "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "recent_window_count": (
+            "SELECT count(*) AS recent_cnt FROM events "
+            "WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 5 MINUTE"
+        ),
+        "top50_avg": (
+            "SELECT round(avg(o_totalprice), 2) AS avg_price FROM ("
+            "  SELECT o_totalprice FROM orders "
+            "  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50)"
+        ),
+        "pct_of_total": (
+            "SELECT event_type, count(*) AS cnt, "
+            "round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "union_sort_limit": (
+            "SELECT name FROM ("
+            "  SELECT c_name AS name FROM customer "
+            "  UNION ALL SELECT s_name AS name FROM supplier) "
+            "ORDER BY name DESC LIMIT 20"
+        ),
+        "orphan_anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+            "ORDER BY c_custkey"
+        ),
+        "status_since_filter": (
+            "SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders "
+            "WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '1995-01-01' "
+            "GROUP BY o_orderpriority"
+        ),
+        "point_lookup": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+            "WHERE o_orderkey = 1"
+        ),
+        "prefix_match": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"
+        ),
+        "retention_cutoff": (
+            "SELECT count(*) AS purged FROM orders "
+            "WHERE o_orderdate < DATE '1995-01-01'"
+        ),
+        "histogram": (
+            "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, "
+            "count(*) AS cnt FROM events GROUP BY bucket ORDER BY bucket"
+        ),
+        "json_pluck": (
+            "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT)) AS sum_k FROM events GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
+        "token_stats": (
+            f"SELECT doc_id, len({_TOKENIZE_SQL}) AS n_tokens, "
+            f"{_TOKENIZE_SQL}[1] AS first_token "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "stopword_ratio": (
+            f"SELECT doc_id, "
+            f"len(list_filter({_TOKENIZE_SQL}, "
+            f"x -> list_contains([{_EN_SW_SQL}], x))) AS en_hits, "
+            f"CASE WHEN len({_TOKENIZE_SQL}) = 0 THEN 0.0 ELSE "
+            f"len(list_filter({_TOKENIZE_SQL}, "
+            f"x -> list_contains([{_EN_SW_SQL}], x))) * 1.0 "
+            f"/ len({_TOKENIZE_SQL}) END AS en_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "truncate": (
+            "SELECT doc_id, CASE WHEN len(words) > 10 "
+            "THEN array_to_string(words[1:10], ' ') || ' ...' "
+            "ELSE text END AS truncated FROM ("
+            "  SELECT doc_id, text, list_filter("
+            "    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words"
+            "  FROM documents) ORDER BY doc_id"
+        ),
+        "snippet": (
+            "SELECT doc_id, array_to_string(list_filter("
+            "regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:10], ' ') "
+            "AS snippet FROM documents ORDER BY doc_id"
+        ),
+        "iso_mapping": (
+            "SELECT lang, "
+            "CASE lower(lang) WHEN 'en' THEN 'eng' WHEN 'fr' THEN 'fre' "
+            "ELSE lang END AS iso2b, "
+            "CASE lower(lang) WHEN 'en' THEN 'eng' WHEN 'fr' THEN 'fra' "
+            "ELSE lang END AS iso2t, "
+            "CASE lower(lang) WHEN 'en' THEN 'English' WHEN 'fr' THEN 'French' "
+            "ELSE upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) END "
+            "AS label, count(*) AS cnt "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "scrub": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'(?:[0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), "
+            "'\\+?[0-9]{1,3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}', '<PHONE>', 'g'), "
+            "'(?i)(shit|fuck)', '<TOX>', 'g') = text AS unchanged "
+            "FROM documents ORDER BY doc_id"
+        ),
+    }

@@ -1,0 +1,203 @@
+"""Column-level expression library (native Spark SQL — whole-stage codegen).
+
+Each helper is the JVM-side twin of a function in ``langid_mr_spark.textnorm``
+(the pure-Python spec); tests/test_exprs.py asserts exact parity on an
+adversarial string corpus. Reference citations are on the Python twins.
+
+Design note: everything here is built from pyspark.sql.functions so Catalyst
+keeps the whole per-document heuristic stage inside WholeStageCodegen — the
+only Python round-trips in the pipeline are the model-scoring UDFs
+(scoring.py), mirroring the reference where the model is the only non-trivial
+per-document cost (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import constants as C
+
+# --- literals ----------------------------------------------------------------
+
+def _lit_array(words) -> Column:
+    # built lazily: Column construction requires an active SparkContext
+    return F.array(*[F.lit(w) for w in sorted(words)])
+_MUSIC_GLYPH_CLASS = "[" + "".join(C.MUSIC_UNICODE_MARKERS) + "]"
+# Java regex needs (?U) for unicode-aware \s (Python re is unicode by default)
+_WS = r"(?U)\s+"
+_TRIM_RE = r"(?U)^\s+|\s+$"
+
+
+def _ustrip(col: Column) -> Column:
+    """Python str.strip() twin — unicode whitespace both ends."""
+    return F.regexp_replace(col, _TRIM_RE, "")
+
+
+# --- X1 tokenize / X2 stopword ratio ----------------------------------------
+
+def tokenize(col: Column) -> Column:
+    """array<string> of lowercase tokens (twin: textnorm.tokenize_text)."""
+    return F.filter(
+        F.split(F.lower(col), C.TOKEN_SPLIT_JAVA), lambda t: t != F.lit("")
+    )
+
+
+def token_count(tokens: Column) -> Column:
+    return F.size(tokens)
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """A12 — count of tokens in the language's stopword set."""
+    sw = _lit_array(C.EN_STOPWORDS if lang == "en" else C.FR_STOPWORDS)
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(tokens: Column, lang: str) -> Column:
+    """twin: textnorm.compute_stopword_ratio (0.0 on empty token list)."""
+    n = F.size(tokens)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(tokens, lang) / n.cast("double")
+    )
+
+
+# --- X3/X4/X5 music-only (boilerplate-only page) ------------------------------
+
+def expand_music_glyphs(col: Column) -> Column:
+    return F.regexp_replace(col, _MUSIC_GLYPH_CLASS, " music ")
+
+
+def _strip_one_bracket_layer(col: Column) -> Column:
+    """One peel: whole-string-anchored '<open> inner <close>' → trimmed inner.
+
+    One regexp_replace per bracket type keeps the expression tree LINEAR in
+    the number of layers (a when/otherwise formulation would reference the
+    previous layer's subtree ~6×, i.e. exponential tree growth). At most one
+    anchored pattern can match per application, so sequential replaces are
+    equivalent to the reference's first-char dispatch."""
+    out = col
+    for o, c in C.BRACKET_PAIRS.items():
+        out = F.regexp_replace(out, f"(?sU)^\\{o}\\s*(.*?)\\s*\\{c}$", "$1")
+    return out
+
+
+def strip_outer_brackets(col: Column) -> Column:
+    """twin: textnorm.strip_outer_brackets, unrolled to
+    BRACKET_STRIP_MAX_LAYERS layers (the reference loops unboundedly;
+    fixtures stay within the unroll depth — constants.py)."""
+    out = col
+    for _ in range(C.BRACKET_STRIP_MAX_LAYERS):
+        out = _strip_one_bracket_layer(out)
+    return out
+
+
+def is_music_only(col: Column) -> Column:
+    """twin: textnorm.is_music_only (lang_gate.py:122-162 semantics)."""
+    kw = _lit_array(C.MUSIC_KEYWORDS)
+    kw_filler = _lit_array(C.MUSIC_KEYWORDS | C.MUSIC_FILLER_TOKENS)
+    fillers = _lit_array(C.MUSIC_FILLER_TOKENS)
+    working0 = _ustrip(col)
+    working = strip_outer_brackets(F.lower(expand_music_glyphs(working0)))
+    tokens = tokenize(working)
+    all_kw_or_filler = F.forall(tokens, lambda t: F.array_contains(kw_filler, t))
+    residue = F.filter(tokens, lambda t: ~F.array_contains(fillers, t))
+    residue_all_kw = F.forall(residue, lambda t: F.array_contains(kw, t))
+    return (
+        col.isNotNull()
+        & (working0 != "")
+        & (working != "")
+        & (F.size(tokens) > 0)
+        & all_kw_or_filler
+        & (F.size(residue) > 0)
+        & residue_all_kw
+    )
+
+
+# --- X6 safe probability ------------------------------------------------------
+
+def safe_probability(col: Column) -> Column:
+    return F.coalesce(col.try_cast("double"), F.lit(0.0))
+
+
+# --- X7/X8 truncation & snippet ------------------------------------------------
+
+def _ws_words(col: Column) -> Column:
+    """Python str.split() twin: split on unicode whitespace, drop empties."""
+    return F.filter(F.split(col, _WS), lambda w: w != F.lit(""))
+
+
+def truncate_to_words(col: Column, max_words: int = 10) -> Column:
+    """twin: textnorm.truncate_to_words (utils.py:53-60)."""
+    words = _ws_words(col)
+    return F.when(
+        F.size(words) > max_words,
+        F.concat(F.array_join(F.slice(words, 1, max_words), " "), F.lit(" ...")),
+    ).otherwise(col)
+
+
+def snippet_first_words(col: Column, n: int = 10) -> Column:
+    """twin: textnorm.snippet_first_words (runner.py:108)."""
+    return F.array_join(F.slice(_ws_words(col), 1, n), " ")
+
+
+# --- X9 ISO code mapping --------------------------------------------------------
+
+def to_iso_code(col: Column, fmt: str) -> Column:
+    """twin: textnorm.to_iso_code — unknown codes pass through."""
+    mapping = F.create_map(
+        *[F.lit(x) for lang, fmts in C.ISO_MAPPING.items() for x in (lang, fmts[fmt])]
+    )
+    return F.coalesce(F.element_at(mapping, F.lower(col)), col)
+
+
+def from_iso_code(col: Column, fmt: str) -> Column:
+    """twin: textnorm.from_iso_code — NULL when not found."""
+    mapping = F.create_map(
+        *[F.lit(x) for lang, fmts in C.ISO_MAPPING.items() for x in (fmts[fmt], lang)]
+    )
+    return F.element_at(mapping, F.lower(col))
+
+
+def language_label(col: Column) -> Column:
+    """twin: textnorm.get_language_label — .title() fallback."""
+    mapping = F.create_map(
+        *[F.lit(x) for lang, lab in C.LANGUAGE_LABELS.items() for x in (lang, lab)]
+    )
+    return F.coalesce(F.element_at(mapping, F.lower(col)), F.initcap(col))
+
+
+# --- X14 mean logprob with sentinel ----------------------------------------------
+
+def mean_logprob(arr: Column) -> Column:
+    """lang_gate.py:244-245 — mean of array; −99.0 when empty/null."""
+    return F.when(
+        arr.isNull() | (F.size(arr) == 0), F.lit(C.EMPTY_LOGPROB_SENTINEL)
+    ).otherwise(
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    )
+
+
+# --- X15 argmax over {en, fr} (ties → en: Python max() insertion order) -----------
+
+def argmax_en_fr(score_en: Column, score_fr: Column) -> Column:
+    return F.when(score_en >= score_fr, F.lit("en")).otherwise(F.lit("fr"))
+
+
+# --- X18 whitespace/VAD-clean normalization ---------------------------------------
+
+def vad_clean(col: Column) -> Column:
+    """twin: textnorm.vad_clean — drop bracketed spans + glyphs, collapse ws."""
+    spans = r"\[[^\]]*\]|\([^)]*\)|\{[^}]*\}|<[^>]*>"
+    working = F.regexp_replace(col, spans, " ")
+    working = expand_music_glyphs(working)
+    return _ustrip(F.regexp_replace(working, _WS, " "))
+
+
+# --- X19/X20 bounded prefixes ------------------------------------------------------
+
+def probe(col: Column) -> Column:
+    return F.substring(F.coalesce(col, F.lit("")), 1, C.PROBE_CHARS)
+
+
+def snippet_window(col: Column) -> Column:
+    return F.substring(F.coalesce(col, F.lit("")), 1, C.SNIPPET_CHARS)

@@ -1,0 +1,290 @@
+"""The EN/FR decision cascade (reference: detect_lang_en_fr_only,
+lang_gate.py:293-546) as a staged Spark DataFrame DAG.
+
+Shape (SURVEY.md §4.2): compute-then-select with *staged* evaluation so the
+expensive scoring UDFs only ever run on rows still undecided — the Spark
+analog of the reference's cost-ordered short-circuit (most documents exit at
+C1/C2; the VAD retry and fallback scorer are reached by a shrinking residue):
+
+    pass1: langid(probe)          → C1 music-only, C2 high-conf, C3/C4 mid-zone
+    pass2: langid(vad_clean(probe)) on undecided₁ → C5 music-only, C6 vad-accept
+    pass3: ppl_en/fr(probe) on undecided₂         → C7 strict reject / C8 fallback
+    unionByName(decided₁, decided₂, decided₃)
+
+Branch ordering and every emitted field mirror the reference exactly,
+including the subtle behaviors asserted by its tests (SURVEY.md §2.5):
+music-only wins before probability logic; the C2 speechiness guard; C6
+reports FIRST-pass ratios/token_count (lang_gate.py:507-509); fallback emits
+probability NULL (tests/test_enfr_gate.py:131); gate_meta.mid_zone derives
+from the probability band, not the branch (lang_gate.py:187).
+
+Scorers are injectable (the reference's mock-detector hook, conftest.py:24):
+pass a callable Column→Column producing struct<lang,prob> (or
+struct<ppl_en,ppl_fr>) to replace the real pandas UDFs in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import constants as C
+from . import scoring
+from .functions import exprs as X
+
+Scorer = Callable[[Column], Column]
+
+# Unified per-branch output columns (FIXTURES.md §2 / lang_gate.py:172-213)
+GATE_COLS = [
+    "gate_decision", "language", "probability", "detection_method",
+    "use_vad", "en_ratio", "fr_ratio", "token_count", "music_only",
+]
+
+
+def _allowed(lang: Column) -> Column:
+    return lang.isin(*sorted(C.ALLOWED_LANGS))
+
+
+def with_pass1(df: DataFrame, text_col: str = "text",
+               scorer: Scorer | None = None) -> DataFrame:
+    """Probe extraction + first-pass heuristic columns + langid scores.
+
+    All heuristics are native expressions (WholeStageCodegen); the scorer is
+    the only ArrowEvalPython node. Webtext mapping: the "transcript" of the
+    probe IS the probe text (SURVEY.md §2.4 M3)."""
+    scorer = scorer or scoring.langid_scores_udf
+    probe = X.probe(F.col(text_col))
+    tokens = X.tokenize(probe)
+    return (
+        df.withColumn("_probe", probe)
+        .withColumn("_tc1", X.token_count(tokens))
+        .withColumn("_en1", X.stopword_ratio(tokens, "en"))
+        .withColumn("_fr1", X.stopword_ratio(tokens, "fr"))
+        .withColumn("_music1", X.is_music_only(F.col("_probe")))
+        .withColumn("_s1", scorer(F.col("_probe")))
+        .withColumn("_lang1", F.col("_s1.lang"))
+        .withColumn("_p1", X.safe_probability(F.col("_s1.prob")))
+        .drop("_s1")
+    )
+
+
+def _decision1() -> Column:
+    """C1-C4 (lang_gate.py:340-453). NULL = undecided (falls to pass 2).
+
+    Note C3/C4 are reachable at p ≥ MID_UPPER when the C2 speechiness guard
+    fails — the reference's control flow falls *through* to the mid-zone
+    checks, not past them (lang_gate.py:383-453)."""
+    lang1, p1 = F.col("_lang1"), F.col("_p1")
+    tc, en, fr = F.col("_tc1"), F.col("_en1"), F.col("_fr1")
+    high_conf = (
+        _allowed(lang1) & (p1 >= C.MID_UPPER)
+        & (tc >= C.MIN_TOKENS_FOR_SPEECH)
+        & (F.greatest(en, fr) >= C.MIN_STOPWORD_FOR_SPEECH)
+    )
+    mid_en = (
+        _allowed(lang1) & (lang1 == "en") & (p1 >= C.MID_LOWER)
+        & (tc >= C.MIN_TOKENS_FOR_HEURISTIC)
+        & (en >= C.MID_EN_MIN_STOPWORD_RATIO)
+        & (en > fr + C.STOPWORD_MARGIN)
+    )
+    mid_fr = (
+        _allowed(lang1) & (lang1 == "fr") & (p1 >= C.MID_LOWER)
+        & (tc >= C.MIN_TOKENS_FOR_HEURISTIC)
+        & (fr >= C.MID_FR_MIN_STOPWORD_RATIO)
+        & (fr > en + C.STOPWORD_MARGIN)
+    )
+    return (
+        F.when(F.col("_music1"), F.lit(C.DECISION_MUSIC_ONLY))
+        .when(high_conf, F.lit(C.DECISION_HIGH_CONF))
+        .when(mid_en, F.lit(C.DECISION_MID_EN))
+        .when(mid_fr, F.lit(C.DECISION_MID_FR))
+    )
+
+
+def _emit_pass1(df: DataFrame) -> DataFrame:
+    """Project decided₁ rows to the unified gate columns."""
+    d = F.col("_d1")
+    music = d == C.DECISION_MUSIC_ONLY
+    return df.select(
+        *[c for c in df.columns if not c.startswith("_")],
+        d.alias("gate_decision"),
+        F.when(music, F.lit("none")).otherwise(F.col("_lang1")).alias("language"),
+        F.col("_p1").cast("double").alias("probability"),
+        F.lit(C.METHOD_AUTODETECT).alias("detection_method"),
+        F.lit(False).alias("use_vad"),
+        F.when(music, F.lit(0.0)).otherwise(F.col("_en1")).alias("en_ratio"),
+        F.when(music, F.lit(0.0)).otherwise(F.col("_fr1")).alias("fr_ratio"),
+        F.col("_tc1").alias("token_count"),
+        music.alias("music_only"),
+    )
+
+
+def _emit_pass2(df: DataFrame) -> DataFrame:
+    """C5/C6 (lang_gate.py:472-511). C5 reports the VAD transcript's token
+    count; C6 reports FIRST-pass ratios/token_count (lang_gate.py:486,507-509)."""
+    music = F.col("_music2")
+    return df.select(
+        *[c for c in df.columns if not c.startswith("_")],
+        F.when(music, F.lit(C.DECISION_MUSIC_ONLY))
+         .otherwise(F.lit(C.DECISION_VAD_RETRY)).alias("gate_decision"),
+        F.when(music, F.lit("none")).otherwise(F.col("_lang2")).alias("language"),
+        F.col("_p2").cast("double").alias("probability"),
+        F.lit(C.METHOD_AUTODETECT_VAD).alias("detection_method"),
+        F.lit(True).alias("use_vad"),
+        F.when(music, F.lit(0.0)).otherwise(F.col("_en1")).alias("en_ratio"),
+        F.when(music, F.lit(0.0)).otherwise(F.col("_fr1")).alias("fr_ratio"),
+        F.when(music, F.col("_tc2")).otherwise(F.col("_tc1")).alias("token_count"),
+        music.alias("music_only"),
+    )
+
+
+def _emit_pass3(df: DataFrame, strict: bool) -> DataFrame:
+    """C7 strict reject (error row, lang_gate.py:527-531) or C8 fallback
+    (argmax of EN/FR scoring, probability NULL, lang_gate.py:533-546)."""
+    base = [c for c in df.columns if not c.startswith("_")]
+    if strict:
+        return df.select(
+            *base,
+            F.lit(C.DECISION_STRICT_REJECT).alias("gate_decision"),
+            F.col("_lang1").alias("language"),
+            F.col("_p1").cast("double").alias("probability"),
+            F.lit(C.METHOD_AUTODETECT).alias("detection_method"),
+            F.lit(True).alias("use_vad"),
+            F.col("_en1").alias("en_ratio"),
+            F.col("_fr1").alias("fr_ratio"),
+            F.col("_tc1").alias("token_count"),
+            F.lit(False).alias("music_only"),
+        )
+    return df.select(
+        *base,
+        F.lit(C.DECISION_FALLBACK).alias("gate_decision"),
+        X.argmax_en_fr(F.col("_ppl.ppl_en"), F.col("_ppl.ppl_fr")).alias("language"),
+        F.lit(None).cast("double").alias("probability"),
+        F.lit(C.METHOD_FALLBACK).alias("detection_method"),
+        F.lit(True).alias("use_vad"),
+        F.col("_en1").alias("en_ratio"),
+        F.col("_fr1").alias("fr_ratio"),
+        F.col("_tc1").alias("token_count"),
+        F.lit(False).alias("music_only"),
+    )
+
+
+def apply_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    scorer: Scorer | None = None,
+    ppl_scorer: Scorer | None = None,
+    strict_reject: bool = C.ENFR_STRICT_REJECT,
+    persist_level: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+    scorer2: Scorer | None = None,
+) -> DataFrame:
+    """Run the full cascade; returns ``df``'s columns + GATE_COLS + derived
+    ``mid_zone``/``keep``/``drop_reason``/``gate_path``/``pipeline_mode``.
+
+    ``persist_level`` caches each scored stage before the decided/undecided
+    filter split so the scoring UDF runs exactly once per row per pass
+    (SURVEY.md §4.2(b)); pass None to recompute instead (useful when the
+    input is a cheap in-memory frame, e.g. unit tests)."""
+    scorer = scorer or scoring.langid_scores_udf
+    ppl_scorer = ppl_scorer or scoring.ppl_scores_udf
+    # tests may inject a distinct second-pass scorer (the reference mocks
+    # return different scores per transcribe() call, test_enfr_gate.py:94-116)
+    scorer2 = scorer2 or scorer
+
+    scored1 = with_pass1(df, text_col, scorer).withColumn("_d1", _decision1())
+    if persist_level is not None:
+        scored1 = scored1.persist(persist_level)
+    decided1 = _emit_pass1(scored1.filter(F.col("_d1").isNotNull()))
+
+    undecided1 = scored1.filter(F.col("_d1").isNull())
+    cleaned = X.vad_clean(F.col("_probe"))
+    tokens2 = X.tokenize(F.col("_cleaned"))
+    scored2 = (
+        undecided1.withColumn("_cleaned", cleaned)
+        .withColumn("_music2", X.is_music_only(F.col("_cleaned")))
+        .withColumn("_tc2", X.token_count(tokens2))
+        .withColumn("_s2", scorer2(F.col("_cleaned")))
+        .withColumn("_lang2", F.col("_s2.lang"))
+        .withColumn("_p2", X.safe_probability(F.col("_s2.prob")))
+        .withColumn(
+            "_d2",
+            F.col("_music2")
+            | (_allowed(F.col("_lang2")) & (F.col("_p2") >= C.LANG_DETECT_MIN_PROB)),
+        )
+    )
+    if persist_level is not None:
+        scored2 = scored2.persist(persist_level)
+    decided2 = _emit_pass2(scored2.filter(F.col("_d2")))
+
+    undecided2 = scored2.filter(~F.col("_d2"))
+    if strict_reject:
+        decided3 = _emit_pass3(undecided2, strict=True)
+    else:
+        # Fallback scores the PROBE, not the cleaned text (lang_gate.py:535)
+        decided3 = _emit_pass3(
+            undecided2.withColumn("_ppl", ppl_scorer(F.col("_probe"))), strict=False
+        )
+
+    out = decided1.unionByName(decided2).unionByName(decided3)
+    return with_derived(out)
+
+
+def with_derived(out: DataFrame) -> DataFrame:
+    """Derived columns over the unified gate output."""
+    prob_value = X.safe_probability(F.col("probability"))
+    decision = F.col("gate_decision")
+    return (
+        out.withColumn(
+            "mid_zone",
+            (prob_value >= C.MID_LOWER) & (prob_value < C.MID_UPPER),
+        )
+        .withColumn("keep", decision.isin(*sorted(C.KEEP_DECISIONS)))
+        .withColumn(
+            "drop_reason",
+            F.when(decision == C.DECISION_MUSIC_ONLY, C.DROP_MUSIC_ONLY)
+            .when(decision == C.DECISION_STRICT_REJECT, C.DROP_NON_ENFR_STRICT),
+        )
+        .withColumn("gate_path", classify_gate_path())
+        .withColumn("pipeline_mode", classify_pipeline_mode())
+    )
+
+
+def classify_gate_path() -> Column:
+    """gate_metrics.classify_gate_path (gate_metrics.py:52-90) as a
+    when-chain over the unified gate columns."""
+    d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
+    lang = F.lower(F.trim(F.coalesce(F.col("language"), F.lit(""))))
+    return (
+        F.when(F.col("music_only"), C.GATE_PATH_MUSIC_ONLY)
+        .when(d == "no_speech_music_only", C.GATE_PATH_MUSIC_ONLY)
+        .when(d == "fallback", C.GATE_PATH_FALLBACK)
+        .when(d == "vad_retry", C.GATE_PATH_VAD_RETRY)
+        .when(d == "accepted_mid_zone_en", C.GATE_PATH_MID_ZONE_EN)
+        .when(d == "accepted_mid_zone_fr", C.GATE_PATH_MID_ZONE_FR)
+        .when(d == "accepted_high_conf", C.GATE_PATH_HIGH_CONF)
+        .when(F.col("mid_zone") & (lang == "fr"), C.GATE_PATH_MID_ZONE_FR)
+        .when(F.col("mid_zone"), C.GATE_PATH_MID_ZONE_EN)
+        .otherwise(C.GATE_PATH_UNKNOWN)
+    )
+
+
+def classify_pipeline_mode() -> Column:
+    """gate_metrics.classify_pipeline_mode (gate_metrics.py:93-129)."""
+    d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
+    m = F.lower(F.trim(F.coalesce(F.col("detection_method"), F.lit(""))))
+    return (
+        F.when(d == "fallback", C.PIPELINE_MODE_FALLBACK)
+        .when((d == "no_speech_music_only") | F.col("music_only"),
+              C.PIPELINE_MODE_MUSIC_ONLY)
+        .when(d.isin("accepted_mid_zone_en", "accepted_mid_zone_fr"),
+              C.PIPELINE_MODE_MID_ZONE)
+        .when(F.col("mid_zone"), C.PIPELINE_MODE_MID_ZONE)
+        .when(d == "vad_retry", C.PIPELINE_MODE_VAD)
+        .when(F.col("use_vad"), C.PIPELINE_MODE_VAD)
+        .when(m.startswith("vad"), C.PIPELINE_MODE_VAD)
+        .when(d == "accepted_high_conf", C.PIPELINE_MODE_BASE)
+        .otherwise(C.PIPELINE_MODE_UNKNOWN)
+    )

@@ -1,0 +1,338 @@
+"""End-to-end quality-filter job (reference lifecycle: SURVEY.md §3.1).
+
+One declarative plan per run:
+
+    read web_pages → validate (S3) → extract html→text (S4, Arrow UDF)
+    → gate cascade (§2.5, staged UDF evaluation)
+    → snippet scrub on kept rows (M6/X21, native regex)
+    → score_meta struct (gate_meta analog, lang_gate.py:186-204)
+    → observe counters (A9) → salted repartition (D1)
+    → write partitioned by days(warc_ts), idempotent per-partition overwrite
+    → _metrics + _checkpoints side tables (D8 resume, north rule lineage)
+
+Scale notes (100 TB / 1000-executor design):
+- The heavy ``html`` column is dropped immediately after extraction so the
+  persisted pass-1 stage and every shuffle carry only text + small columns.
+- Filters (validation) sit directly on the scan so Catalyst pushes them into
+  the parquet reader; the output is partition-aligned with the input date so
+  resume never shuffles.
+- Arrow batch size is capped (long-document skew makes fat batches, SURVEY
+  §4.1); salting spreads repeated-host URL clusters across partitions.
+- Iceberg is the deployment-target table format (atomic commits, snapshot
+  expiry); this sandbox has no Iceberg runtime jar, so the same contract is
+  implemented with parquet + dynamic partition overwrite, which is equally
+  idempotent at partition granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import constants as C
+from . import gate
+from . import scrub as SCRUB
+from .functions import exprs as X
+
+# --- session -----------------------------------------------------------------
+
+def session(app: str = "langid_mr_spark", master: str | None = None,
+            shuffle_partitions: int = 32, arrow_batch: int = 2048) -> SparkSession:
+    """Opinionated session builder. ``arrow_batch`` caps Arrow batch rows so
+    long documents cannot blow up Python-worker memory (SURVEY.md §4.1)."""
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .getOrCreate()
+    )
+
+
+# --- S4: html → text extraction (vectorized Arrow UDF) -------------------------
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Twin of textnorm.extract_text_from_html (byte-identical invariant,
+    BASELINE.json input_hint). Vectorized pandas .str ops — the decode/
+    extract/unescape chain runs on whole Arrow batches, no per-row Python."""
+    import re
+    pat = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+    for series in it:
+        decoded = series.map(
+            lambda b: b.decode("utf-8", errors="replace") if b is not None else "",
+            na_action=None,
+        ).astype("string")
+        extracted = decoded.str.extract(pat, expand=False).fillna("")
+        # unescape in exact inverse order of textnorm._ESCAPES
+        for esc, raw in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                         ("&#x27;", "'"), ("&amp;", "&")):
+            extracted = extracted.str.replace(esc, raw, regex=False)
+        yield extracted.astype(object)
+
+
+# --- S3: ingest validation ------------------------------------------------------
+
+def valid_input(html_col: str = "html", url_col: str = "url") -> Column:
+    """utils.validate_upload analog (utils.py:13-18, config.py:39-44):
+    payload present, size-capped, url present."""
+    return (
+        F.col(url_col).isNotNull() & (F.col(url_col) != "")
+        & F.col(html_col).isNotNull()
+        & (F.length(F.col(html_col)) <= C.MAX_DOC_BYTES)
+    )
+
+
+# --- score_meta struct (gate_meta analog, lang_gate.py:186-204) -------------------
+
+def score_meta_struct() -> Column:
+    return F.struct(
+        F.col("mid_zone"),
+        F.col("language"),
+        X.safe_probability(F.col("probability")).alias("probability"),
+        F.col("en_ratio").alias("stopword_ratio_en"),
+        F.col("fr_ratio").alias("stopword_ratio_fr"),
+        F.col("token_count"),
+        F.col("use_vad").alias("vad_used"),
+        F.col("music_only"),
+        F.struct(
+            F.lit(C.MID_LOWER).alias("mid_lower"),
+            F.lit(C.MID_UPPER).alias("mid_upper"),
+            F.lit(C.MID_EN_MIN_STOPWORD_RATIO).alias("min_stopword_en"),
+            F.lit(C.MID_FR_MIN_STOPWORD_RATIO).alias("min_stopword_fr"),
+            F.lit(C.STOPWORD_MARGIN).alias("stopword_margin"),
+            F.lit(C.MIN_TOKENS_FOR_HEURISTIC).alias("min_tokens"),
+            F.array(*[F.lit(k) for k in sorted(C.MUSIC_KEYWORDS)]).alias(
+                "music_keywords"
+            ),
+        ).alias("config"),
+    )
+
+
+# --- the core transform -----------------------------------------------------------
+
+OUTPUT_COLS = [
+    "url", "warc_ts", "lang", "language", "keep", "drop_reason",
+    "gate_decision", "detection_method", "probability", "scrubbed_text",
+    "gate_path", "pipeline_mode", "score_meta",
+]
+
+
+def run_pipeline(
+    df: DataFrame,
+    scorer: gate.Scorer | None = None,
+    ppl_scorer: gate.Scorer | None = None,
+    strict_reject: bool = C.ENFR_STRICT_REJECT,
+    use_html: bool = True,
+    persist_level=None,
+) -> DataFrame:
+    """Input (input_hint schema) → one output row per document
+    (FIXTURES.md §2 schema). ``lang`` (generator ground truth) is carried
+    through untouched for evaluation; the pipeline never reads it."""
+    from pyspark.storagelevel import StorageLevel
+
+    if persist_level is None:
+        persist_level = StorageLevel.MEMORY_AND_DISK
+
+    carried = ["url", "warc_ts", "lang"]
+
+    invalid = (
+        df.filter(~valid_input())
+        .select(
+            *carried,
+            F.lit(None).cast("string").alias("extracted"),
+        )
+    )
+    valid = df.filter(valid_input())
+
+    if use_html:
+        # S4: decode payload once per document (runner.py:39-40); drop the
+        # heavy binary column immediately after (column pruning for every
+        # downstream stage, persist, and shuffle).
+        extracted = valid.select(
+            *carried, extract_text_udf(F.col("html")).alias("extracted")
+        )
+    else:
+        extracted = valid.select(*carried, F.col("text").alias("extracted"))
+
+    gated = gate.apply_gate(
+        extracted,
+        text_col="extracted",
+        scorer=scorer,
+        ppl_scorer=ppl_scorer,
+        strict_reject=strict_reject,
+        persist_level=persist_level,
+    )
+
+    # Invalid-input rows become keep=false rows, not exceptions (D5 analog:
+    # errors are rows; SURVEY.md §2.5 drop_reason='invalid_input').
+    invalid_gated = invalid.select(
+        "*",
+        F.lit(None).cast("string").alias("gate_decision"),
+        F.lit("none").alias("language"),
+        F.lit(None).cast("double").alias("probability"),
+        F.lit(None).cast("string").alias("detection_method"),
+        F.lit(False).alias("use_vad"),
+        F.lit(0.0).alias("en_ratio"),
+        F.lit(0.0).alias("fr_ratio"),
+        F.lit(0).alias("token_count"),
+        F.lit(False).alias("music_only"),
+        F.lit(False).alias("mid_zone"),
+        F.lit(False).alias("keep"),
+        F.lit(C.DROP_INVALID_INPUT).alias("drop_reason"),
+        F.lit(C.GATE_PATH_UNKNOWN).alias("gate_path"),
+        F.lit(C.PIPELINE_MODE_UNKNOWN).alias("pipeline_mode"),
+    )
+
+    combined = gated.unionByName(invalid_gated)
+
+    # M6/X21: snippet scrub on kept en/fr rows only (runner.py:85-127) —
+    # pure native regex chain, no Python.
+    snippet = X.snippet_first_words(
+        SCRUB.scrub_col(X.snippet_window(F.col("extracted"))), 10
+    )
+    wants_snippet = (
+        F.col("keep") & ~F.col("music_only") & F.col("language").isin("en", "fr")
+    )
+    return combined.select(
+        *carried,
+        F.col("language"),
+        F.col("keep"),
+        F.col("drop_reason"),
+        F.col("gate_decision"),
+        F.col("detection_method"),
+        F.col("probability"),
+        F.when(wants_snippet, snippet).otherwise(F.lit("")).alias("scrubbed_text"),
+        F.col("gate_path"),
+        F.col("pipeline_mode"),
+        score_meta_struct().alias("score_meta"),
+    )
+
+
+# --- D1: salted repartition --------------------------------------------------------
+
+def salted_repartition(df: DataFrame, n: int, key: str = "url",
+                       salt_buckets: int = 16) -> DataFrame:
+    """Round-robin analog (scheduler.py:39-58) upgraded per the north rule:
+    hash-partition on (host-prefix ⊕ salt) so web pages from one hot host —
+    the repeated key at Common-Crawl scale — spread over ``salt_buckets``
+    partitions instead of one (SURVEY.md §2.7 D1)."""
+    host = F.substring_index(F.col(key), "/", 3)
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
+    return df.repartition(n, F.xxhash64(host, salt))
+
+
+# --- A9 counters: observe + metrics table --------------------------------------------
+
+def metric_aggs() -> dict[str, Column]:
+    """Named counter aggregates ≙ the reference's 9 Prometheus counters
+    (metrics.py:6-78; A9). Built lazily (Columns need an active context)."""
+    return {
+        "docs_in": F.count(F.lit(1)),
+        "docs_kept": F.count(F.when(F.col("keep"), 1)),
+        "docs_dropped": F.count(F.when(~F.col("keep"), 1)),
+        "music_only": F.count(F.when(F.col("drop_reason") == C.DROP_MUSIC_ONLY, 1)),
+        "lang_en": F.count(F.when(F.col("language") == "en", 1)),
+        "lang_fr": F.count(F.when(F.col("language") == "fr", 1)),
+        "lang_none": F.count(F.when(F.col("language") == "none", 1)),
+        "fallback_used": F.count(
+            F.when(F.col("gate_decision") == C.DECISION_FALLBACK, 1)
+        ),
+    }
+
+
+def observed(df: DataFrame, name: str = "gate_metrics"):
+    """df.observe() named aggregates ≙ the reference's Prometheus counters
+    (metrics.py:6-78) — collected for free on the write action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[a.alias(k) for k, a in metric_aggs().items()]), obs
+
+
+def metrics_table(out: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage counters (north rule): one row per
+    (run_id, dt, language, drop_reason)."""
+    return (
+        out.groupBy(F.col("dt"), F.col("language"), F.col("drop_reason"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("kept"),
+        )
+        .select(F.lit(run_id).alias("run_id"), "*")
+    )
+
+
+# --- resumable run (D8) ----------------------------------------------------------------
+
+def with_dt(df: DataFrame) -> DataFrame:
+    return df.withColumn("dt", F.to_date(F.col("warc_ts")))
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    run_id: str,
+    repartition_n: int | None = None,
+    **pipeline_kwargs,
+) -> list[str]:
+    """Checkpointed, idempotent run (SURVEY.md §2.7 D8).
+
+    Output is partitioned by ``dt`` = days(warc_ts) — the same column that
+    partitions the input date-wise — so a restart (a) skips date partitions
+    recorded in ``_checkpoints`` via partition pruning, and (b) dynamically
+    overwrites any partially-written partition, converging to the same
+    output as an uninterrupted run. Returns the list of dt partitions
+    processed this invocation."""
+    checkpoints_path = output_path.rstrip("/") + "_checkpoints"
+    metrics_path = output_path.rstrip("/") + "_metrics"
+
+    src = with_dt(spark.read.parquet(input_path))
+
+    done: set[str] = set()
+    try:
+        done = {
+            r["dt"] for r in spark.read.parquet(checkpoints_path)
+            .filter(F.col("run_id") == run_id).select("dt").distinct().collect()
+        }
+    except Exception:
+        pass  # no checkpoints yet
+
+    if done:
+        # partition-level anti-filter: prunes whole input date partitions
+        src = src.filter(~F.col("dt").isin(*[str(d) for d in done]))
+
+    pending = [str(r["dt"]) for r in src.select("dt").distinct().collect()]
+    if not pending:
+        return []
+
+    out = with_dt(run_pipeline(src, **pipeline_kwargs))
+    if repartition_n:
+        out = salted_repartition(out, repartition_n)
+
+    out, obs = observed(out)
+    (out.write.mode("overwrite").partitionBy("dt").parquet(output_path))
+
+    final = with_dt(spark.read.parquet(output_path)).filter(
+        F.col("dt").isin(*pending)
+    )
+    (metrics_table(final, run_id).write.mode("append").parquet(metrics_path))
+
+    ckpt = spark.createDataFrame(
+        [(run_id, d) for d in sorted(pending)], "run_id string, dt string"
+    ).withColumn("observed", F.lit(str(obs.get)))
+    ckpt.write.mode("append").parquet(checkpoints_path)
+    return sorted(pending)

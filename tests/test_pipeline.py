@@ -1,0 +1,154 @@
+"""End-to-end pipeline acceptance tests (BASELINE.md targets):
+
+- keep/drop F1 vs the pure-Python oracle (target ≥ 0.99; we assert 1.0)
+- byte-identical extracted + scrubbed text per url
+- determinism: two runs → frame-equal output (D10 analog)
+- metrics reconcile: docs_in = kept + dropped (A9)
+- resumability: interrupted run + resume == uninterrupted run (D8)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from langid_mr_spark import fixtures, oracle, pipeline
+
+N = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return fixtures.corpus_df(spark, N, num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def oracle_results():
+    pdf = fixtures.make_corpus(N)
+    return {
+        row.url: oracle.process_one(row.url, row.html, row.text)
+        for _, row in pdf.iterrows()
+    }
+
+
+@pytest.fixture(scope="module")
+def result_rows(spark, corpus):
+    return {r["url"]: r for r in pipeline.run_pipeline(corpus).collect()}
+
+
+def test_row_count(result_rows):
+    assert len(result_rows) == N
+
+
+def test_label_agreement_is_exact(result_rows, oracle_results):
+    """Stronger than the F1 ≥ 0.99 target: every label matches."""
+    for url, r in result_rows.items():
+        o = oracle_results[url]
+        for f in ("gate_decision", "language", "keep", "drop_reason",
+                  "detection_method", "gate_path", "pipeline_mode"):
+            assert r[f] == o.get(f), (url, f, r[f], o.get(f))
+
+
+def test_keep_drop_f1(result_rows, oracle_results):
+    tp = sum(1 for u, r in result_rows.items()
+             if r["keep"] and oracle_results[u]["keep"])
+    fp = sum(1 for u, r in result_rows.items()
+             if r["keep"] and not oracle_results[u]["keep"])
+    fn = sum(1 for u, r in result_rows.items()
+             if not r["keep"] and oracle_results[u]["keep"])
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99
+    assert f1 == 1.0
+
+
+def test_scrubbed_text_byte_identical(result_rows, oracle_results):
+    for url, r in result_rows.items():
+        assert r["scrubbed_text"] == oracle_results[url]["scrubbed_text"], url
+
+
+def test_probability_and_meta(result_rows, oracle_results):
+    for url, r in result_rows.items():
+        o = oracle_results[url]
+        a, b = r["probability"], o["probability"]
+        assert (a is None) == (b is None) and (a is None or a == b), url
+        sm = r["score_meta"]
+        assert sm["token_count"] == o["token_count"]
+        assert sm["mid_zone"] == o["mid_zone"]
+        assert sm["vad_used"] == o["use_vad"]
+        assert sm["music_only"] == o["music_only"]
+        assert sm["stopword_ratio_en"] == pytest.approx(o["en_ratio"])
+        assert sm["stopword_ratio_fr"] == pytest.approx(o["fr_ratio"])
+        assert sm["config"]["min_tokens"] == 10
+
+
+def test_extraction_byte_identical(spark, corpus):
+    """input_hint invariant: extract(html) == text, byte for byte."""
+    got = corpus.select(
+        "text",
+        pipeline.extract_text_udf(F.col("html")).alias("extracted"),
+    ).collect()
+    for r in got:
+        assert r["extracted"] == r["text"]
+
+
+def test_determinism_two_runs(spark, corpus, result_rows):
+    # D10 analog: the reference's 10-run stability harness collapses to
+    # run-twice-frame-equal because our scorers are deterministic
+    again = {r["url"]: r for r in pipeline.run_pipeline(corpus).collect()}
+    assert set(again) == set(result_rows)
+    for url, r in again.items():
+        assert r == result_rows[url]
+
+
+def test_observe_metrics_reconcile(spark, corpus):
+    out, obs = pipeline.observed(pipeline.run_pipeline(corpus))
+    out.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["docs_in"] == N
+    assert m["docs_kept"] + m["docs_dropped"] == m["docs_in"]
+    assert m["docs_kept"] > 0 and m["docs_dropped"] > 0
+    assert m["lang_en"] + m["lang_fr"] + m["lang_none"] <= m["docs_in"]
+
+
+def test_invalid_input_rows(spark):
+    rows = [
+        ("", None, None, "none", "f"),            # empty url + null html
+        ("https://x.example/a", None, "txt", "en", "f"),  # null html
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string, family string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+    out = pipeline.run_pipeline(df).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["keep"] is False
+        assert r["drop_reason"] == "invalid_input"
+
+
+def test_resume_idempotent(spark, tmp_path):
+    """Kill-after-partial-run analog: process a date-subset, then resume;
+    final output equals an uninterrupted run, with no duplicate rows."""
+    inp = str(tmp_path / "in")
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    fixtures.corpus_df(spark, 60, num_partitions=2).write.parquet(inp)
+
+    # uninterrupted
+    done = pipeline.run_resumable(spark, inp, out_a, run_id="r1")
+    assert len(done) > 1
+
+    # interrupted: first run sees only a date-subset of the input (as if
+    # killed after committing some partitions), then a full resume run
+    src = pipeline.with_dt(spark.read.parquet(inp))
+    dts = sorted(str(r["dt"]) for r in src.select("dt").distinct().collect())
+    part1 = str(tmp_path / "in_part1")
+    src.filter(F.col("dt") == dts[0]).drop("dt").write.parquet(part1)
+    first = pipeline.run_resumable(spark, part1, out_b, run_id="r2")
+    assert first == [dts[0]]
+    second = pipeline.run_resumable(spark, inp, out_b, run_id="r2")
+    assert dts[0] not in second  # checkpointed partition skipped
+    assert sorted(first + second) == dts
+
+    a = spark.read.parquet(out_a).drop("dt")
+    b = spark.read.parquet(out_b).drop("dt")
+    assert a.count() == 60 and b.count() == 60
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
