@@ -23,8 +23,11 @@ from pyspark.sql import Window as W
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from langid_mr_spark import constants as C  # noqa: E402
+from langid_mr_spark import dedup as DD  # noqa: E402
 from langid_mr_spark import gate  # noqa: E402
+from langid_mr_spark import quality as Q  # noqa: E402
 from langid_mr_spark import scrub as SCRUB  # noqa: E402
+from langid_mr_spark import similarity as SIM  # noqa: E402
 from langid_mr_spark.functions import exprs as X  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
@@ -250,7 +253,141 @@ def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_EN_SW_SQL = ", ".join(f"'{w}'" for w in sorted(C.EN_STOPWORDS))
+# ---------------------------------------------------------------------------
+# dedup / similarity / quality / text-analysis families
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (dedup.exact_duplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs).orderBy("doc_id")
+
+
+def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard, top-20 (the near-dup verifier)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (DD.jaccard_pairs(docs)
+            .orderBy(F.desc("j"), "id_a", "id_b").limit(20))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 minhash signature values per doc (md5-based, 31-bit space)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(F.col("text"), num_perm=4)
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"sig{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified at Jaccard ≥ 0.5 — approximate
+    candidate generation, so rows-only (the exact verifier above is the
+    valued oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (DD.minhash_near_duplicates(docs, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (explode + groupBy sign votes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash(docs).orderBy("id")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 5 vectors as queries."""
+    vec = _t(spark, sf_dir, "embeddings")
+    q = (vec.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    return SIM.cosine_topk(vec, q, k=5).orderBy("qid", "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-5 (approximate → rows-only; recall vs
+    cosine_topk is asserted by tests/test_similarity.py)."""
+    vec = _t(spark, sf_dir, "embeddings")
+    q = (vec.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    return SIM.lsh_bucket_topk(vec, q, k=5, dim=32).orderBy("qid", "rank")
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic quality metrics + first failed rule per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = Q.quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in cols.items()],
+        Q.quality_fail_reason(F.col("text")).alias("quality_fail_reason"),
+    ).orderBy("doc_id")
+
+
+_BPE_RE = r"\w+|[^\w\s]"  # ASCII classes: identical in Java and RE2
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (words + standalone punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+_FP_MOD = (1 << 31) - 1
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling hash (fold) over token md5 hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    hashes = F.transform(toks, lambda t: DD.md5_long(t) % F.lit(_FP_MOD))
+    fp = F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD))
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language guess (the cascade's mid-zone heuristic as a
+    standalone classifier) rolled up per guess."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    en, fr = X.stopword_ratio(toks, "en"), X.stopword_ratio(toks, "fr")
+    guess = (
+        F.when((en >= 0.15) & (en > fr + 0.05), "en")
+        .when((fr >= 0.15) & (fr > en + 0.05), "fr")
+        .otherwise("other")
+    )
+    return (docs.select(guess.alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("lang_guess"))
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: typed metadata over a binary payload column
+    (documents.text re-encoded, since testdata ships no blob column)."""
+    from langid_mr_spark import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        MM.sniff_format(payload).alias("format"),
+        F.length(payload).cast("long").alias("size_bytes"),
+    ).orderBy("doc_id")
+
+
+def _sql_quote(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+_EN_SW_SQL = _sql_quote(C.EN_STOPWORDS)
+_FR_SW_SQL = _sql_quote(C.FR_STOPWORDS)
 _TOKENIZE_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '[^\\w'']+'), "
     "x -> x <> '')"
@@ -278,7 +415,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet": q_snippet,
         "iso_mapping": q_iso_mapping,
         "scrub": q_scrub,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_top_pairs": q_jaccard_top_pairs,
+        "minhash_sig": q_minhash_sig,
+        "near_dup_pairs": q_near_dup_pairs,     # rows-only (approx LSH)
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,         # rows-only (approx LSH)
+        "quality_flags": q_quality_flags,
+        "bpe_token_count": q_bpe_token_count,
+        "fingerprint": q_fingerprint,
+        "langid_heuristic": q_langid_heuristic,
+        "binary_metadata": q_binary_metadata,
     }
+
+
+# DuckDB-side building blocks shared by several oracles
+_TOKS_CTE = (
+    "SELECT doc_id, text, list_filter("
+    "regexp_split_to_array(lower(text), '[^\\w'']+'), x -> x <> '') AS toks "
+    "FROM documents"
+)
+_SHINGLE_CTE = (
+    "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))) "
+    "ELSE []::VARCHAR[] END AS sh FROM t"
+)
+_H15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_sig_sql() -> str:
+    from langid_mr_spark.dedup import _MERSENNE, _perm_constants
+
+    perms = _perm_constants(4)
+    sig_cols = ", ".join(
+        f"coalesce(list_min(list_transform(h, "
+        f"x -> ({a} * x + {b}) % {_MERSENNE})), {_MERSENNE}) AS sig{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    return (
+        f"WITH t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}), "
+        f"hs AS (SELECT doc_id, list_transform(sh, g -> "
+        f"{_H15.format(x='g')} % {_MERSENNE}) AS h FROM s) "
+        f"SELECT doc_id, {sig_cols} FROM hs ORDER BY doc_id"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    assemble = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return (
+        f"WITH t AS ({_TOKS_CTE}), "
+        f"tok AS (SELECT doc_id, unnest(toks) AS tk FROM t), "
+        f"h AS (SELECT doc_id, {_H15.format(x='tk')} AS h FROM tok), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id AS id, ({assemble})::BIGINT AS simhash FROM v "
+        f"ORDER BY id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -376,6 +573,99 @@ def oracle_sql() -> dict[str, str]:
             "ELSE upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) END "
             "AS label, count(*) AS cnt "
             "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "exact_dedup": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS "
+            "canonical_id, doc_id <> min(doc_id) OVER (PARTITION BY "
+            "md5(text)) AS is_duplicate FROM documents ORDER BY doc_id"
+        ),
+        "jaccard_top_pairs": (
+            f"WITH t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(a.sh) + len(b.sh) "
+            "  - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0 "
+            "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) "
+            "  + len(b.sh) - len(list_intersect(a.sh, b.sh))) END AS j "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "ORDER BY j DESC, id_a, id_b LIMIT 20"
+        ),
+        "minhash_sig": _minhash_sig_sql(),
+        "simhash": _simhash_sql(),
+        "cosine_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qvec "
+            "  FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.qid, e.vec_id, "
+            "  list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS dp, "
+            "  sqrt(list_dot_product(e.embedding::DOUBLE[], "
+            "       e.embedding::DOUBLE[])) "
+            "  * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[])) "
+            "  AS d FROM embeddings e CROSS JOIN q), "
+            "r AS (SELECT qid, vec_id, "
+            "  CASE WHEN d = 0 THEN 0.0 ELSE dp / d END AS sim FROM s), "
+            "w AS (SELECT qid, vec_id, sim, row_number() OVER ("
+            "  PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM r) "
+            "SELECT qid, rank, vec_id, round(sim, 6) AS sim FROM w "
+            "WHERE rank <= 5 ORDER BY qid, rank"
+        ),
+        "quality_flags": (
+            f"WITH t AS ({_TOKS_CTE}), "
+            "m AS (SELECT doc_id, len(toks) AS n, "
+            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            "  list_aggregate(list_transform(toks, x -> length(x)), 'sum') "
+            "  * 1.0 / len(toks) END AS mean_len, "
+            " CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "  length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+            "  / length(text) END AS sym, "
+            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            "  1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END AS dup, "
+            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            f"  (len(list_filter(toks, x -> list_contains([{_EN_SW_SQL}], x)))"
+            f"   + len(list_filter(toks, x -> list_contains([{_FR_SW_SQL}], "
+            "x)))) * 1.0 / len(toks) END AS sd FROM t) "
+            "SELECT doc_id, n AS n_words, mean_len AS mean_word_len, "
+            "sym AS symbol_ratio, dup AS dup_token_ratio, "
+            "sd AS stopword_density, "
+            "CASE WHEN n < 5 THEN 'too_few_words' "
+            " WHEN n > 100000 THEN 'too_many_words' "
+            " WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'mean_word_len' "
+            " WHEN sym > 0.2 THEN 'symbol_ratio' "
+            " WHEN dup > 0.6 THEN 'repetitive' "
+            " WHEN sd < 0.02 THEN 'low_stopword_density' END "
+            "AS quality_fail_reason FROM m ORDER BY doc_id"
+        ),
+        "bpe_token_count": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_RE}')) "
+            "AS n_bpe FROM documents ORDER BY doc_id"
+        ),
+        "fingerprint": (
+            f"WITH t AS ({_TOKS_CTE}) "
+            "SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0 ELSE "
+            "list_reduce(list_prepend(0::BIGINT, list_transform(toks, "
+            f"tk -> {_H15.format(x='tk')} % {_FP_MOD})), "
+            f"(a, b) -> (a * 31 + b) % {_FP_MOD}) END AS fingerprint "
+            "FROM t ORDER BY doc_id"
+        ),
+        "langid_heuristic": (
+            f"WITH t AS ({_TOKS_CTE}), "
+            "r AS (SELECT doc_id, "
+            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            f" len(list_filter(toks, x -> list_contains([{_EN_SW_SQL}], x))) "
+            " * 1.0 / len(toks) END AS en_r, "
+            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+            f" len(list_filter(toks, x -> list_contains([{_FR_SW_SQL}], x))) "
+            " * 1.0 / len(toks) END AS fr_r FROM t) "
+            "SELECT CASE WHEN en_r >= 0.15 AND en_r > fr_r + 0.05 THEN 'en' "
+            " WHEN fr_r >= 0.15 AND fr_r > en_r + 0.05 THEN 'fr' "
+            " ELSE 'other' END AS lang_guess, count(*) AS cnt "
+            "FROM r GROUP BY 1 ORDER BY lang_guess"
+        ),
+        "binary_metadata": (
+            "SELECT doc_id, "
+            "CASE WHEN starts_with(text, '<html') THEN 'html' "
+            " WHEN starts_with(text, '<!doc') THEN 'html' "
+            " ELSE 'unknown' END AS format, "
+            "octet_length(encode(text)) AS size_bytes "
+            "FROM documents ORDER BY doc_id"
         ),
         "scrub": (
             "SELECT doc_id, "

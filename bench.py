@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline workload is (a) the full quality-filter pipeline over a
+deterministic synthetic web_pages corpus sized to the scale factor
+(60k docs at sf0.1; the corpus parquet is built once and cached under
+.bench_cache/), and (b) representative operator-family queries from
+__spark_entry__.py over the provided testdata tables.
+
+Extra keys (pipeline_docs_per_sec, corpus_docs) are informational; the
+driver-required keys are metric/value/unit/queries/sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    name = Path(path).name
+    return float(name[2:]) if name.startswith("sf") else 0.1
+
+
+def corpus_rows(sf: float) -> int:
+    # sf0.1 → 60k docs, sf0.01 → 6k, sf0.001 → 600
+    return max(600, int(600_000 * sf))
+
+
+def ensure_corpus(spark, sf: float, cache_root: str = ".bench_cache") -> str:
+    n = corpus_rows(sf)
+    path = Path(cache_root) / f"web_pages_n{n}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        from langid_mr_spark import fixtures
+        fixtures.write_corpus(spark, str(path), n,
+                              num_partitions=max(CPUS * 8, 64))
+    return str(path)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from langid_mr_spark import pipeline
+    import __spark_entry__ as entrymod
+
+    sf = sf_of(SF_DIR)
+    spark = pipeline.session(
+        app="langid_mr_spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = ensure_corpus(spark, sf)
+    src = spark.read.parquet(corpus_path)
+    n_docs = src.count()  # also warms the JVM
+
+    # Warmup: exercise every code path (python workers, codegen, JIT, heap
+    # first-touch) on a small slice, then drop its cache so the timed run
+    # computes everything itself.
+    pipeline.run_pipeline(src.limit(2000)).write.format("noop").mode(
+        "overwrite").save()
+    spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+
+    def timed(fn, reps: int = 3) -> float:
+        vals = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            vals.append(time.perf_counter() - t0)
+        vals.sort()
+        return round(vals[len(vals) // 2], 3)  # median
+
+    # --- headline: the full quality-filter pipeline, fully materialized ---
+    timings["pipeline"] = timed(
+        lambda: pipeline.run_pipeline(src)
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    # --- operator-family queries over the provided testdata tables ---
+    qs = entrymod.queries()
+    bench_queries = [
+        "gate_decisions", "count_by_status", "pct_of_total", "top50_avg",
+        "union_sort_limit", "orphan_anti_join", "status_since_filter",
+        "histogram", "json_pluck", "token_stats", "stopword_ratio",
+        "snippet", "scrub",
+    ]
+    for name in bench_queries:
+        fn = qs[name]
+        timings[name] = timed(
+            lambda f=fn: f(spark, SF_DIR)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "corpus_docs": n_docs,
+        "pipeline_docs_per_sec": round(n_docs / timings["pipeline"], 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Beyond the reference's operator set (its unit of work is one independent
+document), a 10^12-document training-data pipeline needs corpus-level dedup;
+these are the standard four, each built Spark-first:
+
+- exact:       content-hash groupBy (one shuffle on the hash)
+- MinHash+LSH: shingle → minhash signature → banded bucket join → verify
+- SimHash:     token-hash sign aggregation (explode + groupBy, pure relational)
+- n-gram Jaccard: exact pairwise similarity (the verifier / small-scale oracle)
+
+Hash choice: md5-prefix → int64 (``F.conv(substr(md5(x),1,15),16,10)``) so
+every operator has a bit-identical DuckDB oracle (xxhash64 is Spark-only).
+At production scale xxhash64 is a drop-in (cheaper); the md5 variant keeps
+the correctness gate honest.
+
+Scale notes: exact dedup and LSH bucketing are single-shuffle (groupBy on
+hash / band key); candidate verification joins only within buckets, never
+all-pairs. ``jaccard_pairs`` alone is O(n²) — it exists as the exactness
+oracle and for small candidate sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions import exprs as X
+
+# Affine permutation constants for minhash (fixed, deterministic).
+# 31-bit Mersenne prime space: a*x + b stays < 2^62, so the arithmetic never
+# overflows int64 in either Spark (silent wrap) or DuckDB (error) — the
+# precondition for a bit-identical oracle.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a fixed LCG — no RNG state."""
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MERSENNE - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit integer hash with an exact DuckDB twin
+    (``('0x' || substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Content-hash dedup: every row keeps ``canonical_id`` = min id of its
+    hash group and ``is_duplicate``. One shuffle (window on the hash)."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+
+
+# --- shingling + exact jaccard ---------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct token n-gram strings (space-joined). Documents with fewer
+    than n tokens yield an empty set (sequence(1,0) would count DOWN, so the
+    short case is handled explicitly)."""
+    toks = X.tokenize(col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (integer ratio —
+    bit-identical across engines)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double"))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """All-pairs exact n-gram Jaccard (id_a < id_b). O(n²) — the exactness
+    oracle; use minhash_lsh_candidates at scale."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------------
+
+def minhash_signature(col: Column, num_perm: int = 32, n: int = 3) -> Column:
+    """array<bigint> minhash signature of the document's shingle set.
+
+    h_i(s) = (a_i * (md5_long(s) mod M) + b_i) mod M  (M = 2^31−1), min over
+    shingles; empty shingle set → M (sentinel larger than any hash)."""
+    sh = shingles(col, n)
+    hashes = F.transform(sh, lambda s: md5_long(s) % F.lit(_MERSENNE))
+    sig = []
+    for a, b in _perm_constants(num_perm):
+        hi = F.transform(
+            hashes,
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE),
+        )
+        sig.append(F.coalesce(F.array_min(hi), F.lit(_MERSENNE)))
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 32,
+                           bands: int = 16, n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    signature → ``bands`` bands of ``num_perm/bands`` rows → explode →
+    groupBy (band index, band content) → pairs within buckets. The join is
+    bucket-local: the only all-to-all movement is one shuffle on the band
+    key, which is what makes this viable at 10^12 documents."""
+    rows = num_perm // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_perm, n).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.array_join(
+                        F.transform(F.slice(F.col("sig"), bidx * rows + 1, rows),
+                                    lambda v: v.cast("string")),
+                        "_",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    left = banded.select("band", "key", F.col("id").alias("id_a"))
+    right = banded.select("band", "key", F.col("id").alias("id_b"))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.8,
+                            num_perm: int = 32, bands: int = 16,
+                            n: int = 3) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold (only the
+    bucket-local candidate set is ever joined back to the shingle arrays)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingles(F.col(text_col), n).alias("sh"))
+    return (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .filter(F.col("j") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """Per-document ``bits``-bit SimHash, purely relational: explode tokens
+    (multiset — occurrences weight the vote), hash each token, per-bit sign
+    vote via groupBy-sum, assemble the fingerprint. One shuffle on id."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(X.tokenize(F.col(text_col))).alias("t"),
+    ).withColumn("h", md5_long(F.col("t")))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.cast("long").alias("simhash"))

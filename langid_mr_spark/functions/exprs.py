@@ -48,9 +48,12 @@ def token_count(tokens: Column) -> Column:
 
 
 def stopword_hits(tokens: Column, lang: str) -> Column:
-    """A12 — count of tokens in the language's stopword set."""
-    sw = _lit_array(C.EN_STOPWORDS if lang == "en" else C.FR_STOPWORDS)
-    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    """A12 — count of tokens in the language's stopword set.
+
+    Membership via ``isin`` so Catalyst compiles the 60-word set to an
+    O(1)-lookup InSet instead of a linear array_contains scan per token."""
+    sw = sorted(C.EN_STOPWORDS if lang == "en" else C.FR_STOPWORDS)
+    return F.size(F.filter(tokens, lambda t: t.isin(*sw)))
 
 
 def stopword_ratio(tokens: Column, lang: str) -> Column:
@@ -84,24 +87,42 @@ def _strip_one_bracket_layer(col: Column) -> Column:
 def strip_outer_brackets(col: Column) -> Column:
     """twin: textnorm.strip_outer_brackets, unrolled to
     BRACKET_STRIP_MAX_LAYERS layers (the reference loops unboundedly;
-    fixtures stay within the unroll depth — constants.py)."""
+    fixtures stay within the unroll depth — constants.py).
+
+    Guarded by a first-character check: for the overwhelming majority of
+    documents (no leading bracket) the peel is a no-op, and CaseWhen's lazy
+    branch evaluation skips all 32 regexp_replace allocations — without the
+    guard every document pays ~32 intermediate-string allocations, which at
+    32 threads turns into GC pressure that caps scaling."""
     out = col
     for _ in range(C.BRACKET_STRIP_MAX_LAYERS):
         out = _strip_one_bracket_layer(out)
-    return out
+    openers = sorted(C.BRACKET_PAIRS)
+    return F.when(F.substring(col, 1, 1).isin(*openers), out).otherwise(col)
 
 
 def is_music_only(col: Column) -> Column:
-    """twin: textnorm.is_music_only (lang_gate.py:122-162 semantics)."""
-    kw = _lit_array(C.MUSIC_KEYWORDS)
-    kw_filler = _lit_array(C.MUSIC_KEYWORDS | C.MUSIC_FILLER_TOKENS)
-    fillers = _lit_array(C.MUSIC_FILLER_TOKENS)
+    """twin: textnorm.is_music_only (lang_gate.py:122-162 semantics).
+
+    Wrapped in an exact necessary-condition guard: a music-only verdict
+    requires a residue token ∈ {music, musique}, which post-glyph-expansion
+    implies the raw text contains "musi" (case-insensitive) or a music
+    glyph. Docs failing the guard skip the whole strip/tokenize/HOF chain
+    (CaseWhen branches evaluate lazily per row)."""
+    guard = col.rlike("(?iu)musi|[" + "".join(C.MUSIC_UNICODE_MARKERS) + "]")
+    return F.when(guard, _is_music_only_full(col)).otherwise(F.lit(False))
+
+
+def _is_music_only_full(col: Column) -> Column:
+    kw = sorted(C.MUSIC_KEYWORDS)
+    kw_filler = sorted(C.MUSIC_KEYWORDS | C.MUSIC_FILLER_TOKENS)
+    fillers = sorted(C.MUSIC_FILLER_TOKENS)
     working0 = _ustrip(col)
     working = strip_outer_brackets(F.lower(expand_music_glyphs(working0)))
     tokens = tokenize(working)
-    all_kw_or_filler = F.forall(tokens, lambda t: F.array_contains(kw_filler, t))
-    residue = F.filter(tokens, lambda t: ~F.array_contains(fillers, t))
-    residue_all_kw = F.forall(residue, lambda t: F.array_contains(kw, t))
+    all_kw_or_filler = F.forall(tokens, lambda t: t.isin(*kw_filler))
+    residue = F.filter(tokens, lambda t: ~t.isin(*fillers))
+    residue_all_kw = F.forall(residue, lambda t: t.isin(*kw))
     return (
         col.isNotNull()
         & (working0 != "")

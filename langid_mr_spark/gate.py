@@ -49,25 +49,37 @@ def _allowed(lang: Column) -> Column:
 
 
 def with_pass1(df: DataFrame, text_col: str = "text",
-               scorer: Scorer | None = None) -> DataFrame:
+               scorer: Scorer | None = None,
+               text_is_probe: bool = False) -> DataFrame:
     """Probe extraction + first-pass heuristic columns + langid scores.
 
     All heuristics are native expressions (WholeStageCodegen); the scorer is
     the only ArrowEvalPython node. Webtext mapping: the "transcript" of the
-    probe IS the probe text (SURVEY.md §2.4 M3)."""
+    probe IS the probe text (SURVEY.md §2.4 M3).
+
+    ``text_is_probe``: the caller guarantees ``text_col`` is already bounded
+    to PROBE_CHARS, so no separate probe column is materialized — halves the
+    string bytes flowing through the staged-cascade persist (UnsafeRow
+    copies every column's bytes; an alias column is a real copy)."""
     scorer = scorer or scoring.langid_scores_udf
-    probe = X.probe(F.col(text_col))
-    tokens = X.tokenize(probe)
+    if text_is_probe:
+        probe_col = text_col
+        out = df
+    else:
+        probe_col = "_probe"
+        out = df.withColumn(probe_col, X.probe(F.col(text_col)))
+    # Materialize tokens once — token_count and both stopword ratios read
+    # the same array column instead of re-running split+filter three times.
     return (
-        df.withColumn("_probe", probe)
-        .withColumn("_tc1", X.token_count(tokens))
-        .withColumn("_en1", X.stopword_ratio(tokens, "en"))
-        .withColumn("_fr1", X.stopword_ratio(tokens, "fr"))
-        .withColumn("_music1", X.is_music_only(F.col("_probe")))
-        .withColumn("_s1", scorer(F.col("_probe")))
+        out.withColumn("_tokens", X.tokenize(F.col(probe_col)))
+        .withColumn("_tc1", X.token_count(F.col("_tokens")))
+        .withColumn("_en1", X.stopword_ratio(F.col("_tokens"), "en"))
+        .withColumn("_fr1", X.stopword_ratio(F.col("_tokens"), "fr"))
+        .withColumn("_music1", X.is_music_only(F.col(probe_col)))
+        .withColumn("_s1", scorer(F.col(probe_col)))
         .withColumn("_lang1", F.col("_s1.lang"))
         .withColumn("_p1", X.safe_probability(F.col("_s1.prob")))
-        .drop("_s1")
+        .drop("_s1", "_tokens")
     )
 
 
@@ -180,6 +192,7 @@ def apply_gate(
     strict_reject: bool = C.ENFR_STRICT_REJECT,
     persist_level: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
     scorer2: Scorer | None = None,
+    text_is_probe: bool = False,
 ) -> DataFrame:
     """Run the full cascade; returns ``df``'s columns + GATE_COLS + derived
     ``mid_zone``/``keep``/``drop_reason``/``gate_path``/``pipeline_mode``.
@@ -193,14 +206,16 @@ def apply_gate(
     # tests may inject a distinct second-pass scorer (the reference mocks
     # return different scores per transcribe() call, test_enfr_gate.py:94-116)
     scorer2 = scorer2 or scorer
+    probe_col = text_col if text_is_probe else "_probe"
 
-    scored1 = with_pass1(df, text_col, scorer).withColumn("_d1", _decision1())
+    scored1 = (with_pass1(df, text_col, scorer, text_is_probe)
+               .withColumn("_d1", _decision1()))
     if persist_level is not None:
         scored1 = scored1.persist(persist_level)
     decided1 = _emit_pass1(scored1.filter(F.col("_d1").isNotNull()))
 
     undecided1 = scored1.filter(F.col("_d1").isNull())
-    cleaned = X.vad_clean(F.col("_probe"))
+    cleaned = X.vad_clean(F.col(probe_col))
     tokens2 = X.tokenize(F.col("_cleaned"))
     scored2 = (
         undecided1.withColumn("_cleaned", cleaned)
@@ -225,7 +240,8 @@ def apply_gate(
     else:
         # Fallback scores the PROBE, not the cleaned text (lang_gate.py:535)
         decided3 = _emit_pass3(
-            undecided2.withColumn("_ppl", ppl_scorer(F.col("_probe"))), strict=False
+            undecided2.withColumn("_ppl", ppl_scorer(F.col(probe_col))),
+            strict=False,
         )
 
     out = decided1.unionByName(decided2).unionByName(decided3)

@@ -175,8 +175,14 @@ def process_one(
 ) -> dict[str, Any]:
     """Full per-document result (worker process_one analog, runner.py:29-160):
     extract → gate → snippet-pass scrub on kept en/fr rows."""
+    from . import quality as Q
+
     extracted = TN.extract_text_from_html(html) if html is not None else (text or "")
     r = gate_one(extracted, lang_scorer, ppl_scorer, strict_reject)
+    # Gopher/C4-style quality rules on the full document (north_star)
+    q = Q.quality_one(extracted)
+    r["quality_fail_reason"] = q["quality_fail_reason"]
+    r["final_keep"] = r["keep"] and q["quality_pass"]
     # Snippet pass (runner.py:92-108): only non-music en/fr rows get text;
     # snippet = first 10 whitespace words of the scrubbed snippet window.
     if not r["music_only"] and r["language"] in {"en", "fr"} and r["keep"]:

@@ -41,12 +41,16 @@ from .functions import exprs as X
 # --- session -----------------------------------------------------------------
 
 def session(app: str = "langid_mr_spark", master: str | None = None,
-            shuffle_partitions: int = 32, arrow_batch: int = 2048) -> SparkSession:
+            shuffle_partitions: int = 32, arrow_batch: int = 2048,
+            driver_memory: str = "24g") -> SparkSession:
     """Opinionated session builder. ``arrow_batch`` caps Arrow batch rows so
-    long documents cannot blow up Python-worker memory (SURVEY.md §4.1)."""
+    long documents cannot blow up Python-worker memory (SURVEY.md §4.1).
+    ``driver_memory`` matters in local mode where the driver IS the executor;
+    on a real cluster size executors via spark-submit instead."""
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+        b = b.config("spark.driver.memory", driver_memory)
     return (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -130,21 +134,30 @@ OUTPUT_COLS = [
 ]
 
 
+_DEFAULT = object()
+
+
 def run_pipeline(
     df: DataFrame,
     scorer: gate.Scorer | None = None,
     ppl_scorer: gate.Scorer | None = None,
     strict_reject: bool = C.ENFR_STRICT_REJECT,
     use_html: bool = True,
-    persist_level=None,
+    persist_level=_DEFAULT,
 ) -> DataFrame:
     """Input (input_hint schema) → one output row per document
     (FIXTURES.md §2 schema). ``lang`` (generator ground truth) is carried
-    through untouched for evaluation; the pipeline never reads it."""
+    through untouched for evaluation; the pipeline never reads it.
+
+    ``persist_level`` defaults to DISK_ONLY: the staged cascade re-reads the
+    scored frame for the decided/undecided split, and serialized-to-disk
+    blocks ride the OS page cache instead of ballooning fresh JVM heap
+    (measured 3.5× faster than MEMORY_AND_DISK on the bench corpus). Pass
+    None to recompute instead of caching."""
     from pyspark.storagelevel import StorageLevel
 
-    if persist_level is None:
-        persist_level = StorageLevel.MEMORY_AND_DISK
+    if persist_level is _DEFAULT:
+        persist_level = StorageLevel.DISK_ONLY
 
     carried = ["url", "warc_ts", "lang"]
 
@@ -167,6 +180,25 @@ def run_pipeline(
     else:
         extracted = valid.select(*carried, F.col("text").alias("extracted"))
 
+    # Gopher/C4-style quality rules (north_star) are computed on the FULL
+    # extracted text — doc-length/repetition rules need the whole document —
+    # exactly once, before bounding.
+    from . import quality as Q
+
+    extracted = extracted.withColumn(
+        "quality_fail_reason", Q.quality_fail_reason(F.col("extracted"))
+    )
+
+    # Bound per-row carried state: everything downstream (probe, snippet
+    # scrub) reads at most PROBE_CHARS of the document, so only that prefix
+    # flows through the staged-cascade persists — a 100×-median-length
+    # document costs the same as a normal one past this point (X19/X20
+    # bounded-work analog, lang_gate.py:13, runner.py:27).
+    extracted = extracted.select(
+        *carried, "quality_fail_reason",
+        X.probe(F.col("extracted")).alias("extracted"),
+    )
+
     gated = gate.apply_gate(
         extracted,
         text_col="extracted",
@@ -174,12 +206,14 @@ def run_pipeline(
         ppl_scorer=ppl_scorer,
         strict_reject=strict_reject,
         persist_level=persist_level,
+        text_is_probe=True,  # bounded above — no duplicate probe column
     )
 
     # Invalid-input rows become keep=false rows, not exceptions (D5 analog:
     # errors are rows; SURVEY.md §2.5 drop_reason='invalid_input').
     invalid_gated = invalid.select(
         "*",
+        F.lit(None).cast("string").alias("quality_fail_reason"),
         F.lit(None).cast("string").alias("gate_decision"),
         F.lit("none").alias("language"),
         F.lit(None).cast("double").alias("probability"),
@@ -217,6 +251,8 @@ def run_pipeline(
         F.when(wants_snippet, snippet).otherwise(F.lit("")).alias("scrubbed_text"),
         F.col("gate_path"),
         F.col("pipeline_mode"),
+        F.col("quality_fail_reason"),
+        (F.col("keep") & F.col("quality_fail_reason").isNull()).alias("final_keep"),
         score_meta_struct().alias("score_meta"),
     )
 

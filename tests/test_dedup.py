@@ -1,0 +1,91 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from langid_mr_spark import dedup
+from langid_mr_spark import textnorm as TN
+
+BASE = ("the quick brown fox jumps over the lazy dog while we talk about "
+        "the weather and the news of the day")
+NEAR = ("the quick brown fox jumps over the lazy dog while we talk about "
+        "the weather and the news of tomorrow")   # 1-word change
+DOCS = [
+    (0, BASE),
+    (1, BASE),            # exact duplicate of 0
+    (2, NEAR),            # near duplicate of 0/1
+    (3, "bonjour je parle français avec mes amis et nous discutons souvent"),
+    (4, "completely different text about databases and query engines here"),
+    (5, ""),              # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = TN.tokenize_text(text)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_jaccard(a, b):
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
+def test_exact_duplicates(docs):
+    got = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert got[0]["canonical_id"] == 0 and got[0]["is_duplicate"] is False
+    assert got[1]["canonical_id"] == 0 and got[1]["is_duplicate"] is True
+    for i in (2, 3, 4, 5):
+        assert got[i]["is_duplicate"] is False
+
+
+def test_jaccard_pairs_exact(docs):
+    got = {(r["id_a"], r["id_b"]): r["j"]
+           for r in dedup.jaccard_pairs(docs).collect()}
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_py_jaccard(texts[a], texts[b]), abs=1e-12)
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+    assert got[(0, 4)] == 0.0
+
+
+def test_md5_long_matches_python(spark):
+    df = spark.createDataFrame([("hello world",), ("ç é ♪",)], ["t"])
+    got = [r["h"] for r in df.select(dedup.md5_long(F.col("t")).alias("h")).collect()]
+    want = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t, in [("hello world",), ("ç é ♪",)]]
+    assert got == want
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["j"]
+             for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (1, 2) in pairs
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_minhash_candidates_superset_of_verified(docs):
+    cands = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_candidates(docs).collect()}
+    verified = {(r["id_a"], r["id_b"])
+                for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert verified <= cands
+
+
+def test_simhash_distance(docs):
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert got[0] == got[1]  # identical docs → identical fingerprint
+    ham_near = bin(got[0] ^ got[2]).count("1")
+    ham_far = bin(got[0] ^ got[4]).count("1")
+    assert ham_near < ham_far
+    assert 5 not in got  # no tokens → no fingerprint row

@@ -43,7 +43,8 @@ def test_label_agreement_is_exact(result_rows, oracle_results):
     for url, r in result_rows.items():
         o = oracle_results[url]
         for f in ("gate_decision", "language", "keep", "drop_reason",
-                  "detection_method", "gate_path", "pipeline_mode"):
+                  "detection_method", "gate_path", "pipeline_mode",
+                  "quality_fail_reason", "final_keep"):
             assert r[f] == o.get(f), (url, f, r[f], o.get(f))
 
 
