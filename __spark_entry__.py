@@ -368,6 +368,49 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang_guess"))
 
 
+def q_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (prometheus.py:118-136): cross-node metric merge — per-group sums
+    after a broadcast join (the shuffle replaces the HTTP fan-in)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    # sum exact integer cents: float summation order differs between
+    # engines (partial aggregates vs sequential), integers don't
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("node"))
+        .agg(F.sum(cents).alias("total_balance_cents"),
+             F.count(F.lit(1)).alias("members"))
+        .orderBy("node")
+    )
+
+
+def q_key_parse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+D2 (prometheus.py:162-176, cluster/router.py:8-35): parse a
+    composite "prefix#suffix" key, roll up per parsed part, and derive the
+    trailing segment (F8's filename projection)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.substring_index(F.col("c_name"), "#", 1).alias("prefix"),
+            F.element_at(F.split(F.col("c_name"), "#"), -1).alias("suffix"),
+        )
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("suffix").alias("first_suffix"))
+        .orderBy("prefix")
+    )
+
+
+def q_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (main.py:392-436): IN-list delete expressed as survivors count."""
+    from langid_mr_spark import maintenance as MT
+
+    nat = _t(spark, sf_dir, "nation")
+    out = MT.delete_by_keys(nat, ["FRANCE", "GERMANY"], key_col="n_name")
+    return out.agg(F.count(F.lit(1)).alias("survivors"))
+
+
 def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata over a binary payload column
     (documents.text re-encoded, since testdata ships no blob column)."""
@@ -427,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "langid_heuristic": q_langid_heuristic,
         "binary_metadata": q_binary_metadata,
+        "node_merge": q_node_merge,
+        "key_parse_rollup": q_key_parse_rollup,
+        "delete_survivors": q_delete_survivors,
     }
 
 
@@ -658,6 +704,22 @@ def oracle_sql() -> dict[str, str]:
             " WHEN fr_r >= 0.15 AND fr_r > en_r + 0.05 THEN 'fr' "
             " ELSE 'other' END AS lang_guess, count(*) AS cnt "
             "FROM r GROUP BY 1 ORDER BY lang_guess"
+        ),
+        "node_merge": (
+            "SELECT n_name AS node, "
+            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS "
+            "total_balance_cents, count(*) AS members FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY node"
+        ),
+        "key_parse_rollup": (
+            "SELECT split_part(c_name, '#', 1) AS prefix, count(*) AS cnt, "
+            "min(split_part(c_name, '#', -1)) AS first_suffix "
+            "FROM customer GROUP BY 1 ORDER BY prefix"
+        ),
+        "delete_survivors": (
+            "SELECT count(*) AS survivors FROM nation "
+            "WHERE n_name NOT IN ('FRANCE', 'GERMANY')"
         ),
         "binary_metadata": (
             "SELECT doc_id, "
