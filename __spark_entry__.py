@@ -368,6 +368,38 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang_guess"))
 
 
+def q_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (main.py:260): total row count."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("total"))
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10+X11 (runner.py:165, main.py:384): struct → JSON → field pluck."""
+    ev = _t(spark, sf_dir, "events")
+    packed = F.to_json(F.struct(F.col("event_type"), F.col("user_id")))
+    return (
+        ev.select(
+            F.get_json_object(packed, "$.event_type").alias("et"),
+            F.get_json_object(packed, "$.user_id").cast("long").alias("uid"),
+        )
+        .groupBy("et").agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum("uid").alias("uid_sum"))
+        .orderBy("et")
+    )
+
+
+def q_null_safe_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (runner.py:51-80): .get()-with-default reads over semi-structured
+    data — coalesce over a missing JSON path."""
+    ev = _t(spark, sf_dir, "events")
+    missing = F.get_json_object(F.col("props"), "$.absent").cast("long")
+    present = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.agg(
+        F.sum(F.coalesce(missing, F.lit(-1))).alias("missing_defaulted"),
+        F.sum(F.coalesce(present, F.lit(-1))).alias("present_sum"),
+    )
+
+
 def q_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (prometheus.py:118-136): cross-node metric merge — per-group sums
     after a broadcast join (the shuffle replaces the HTTP fan-in)."""
@@ -473,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_merge": q_node_merge,
         "key_parse_rollup": q_key_parse_rollup,
         "delete_survivors": q_delete_survivors,
+        "total_count": q_total_count,
+        "json_roundtrip": q_json_roundtrip,
+        "null_safe_projection": q_null_safe_projection,
     }
 
 
@@ -720,6 +755,17 @@ def oracle_sql() -> dict[str, str]:
         "delete_survivors": (
             "SELECT count(*) AS survivors FROM nation "
             "WHERE n_name NOT IN ('FRANCE', 'GERMANY')"
+        ),
+        "total_count": "SELECT count(*) AS total FROM lineitem",
+        "json_roundtrip": (
+            "SELECT event_type AS et, count(*) AS cnt, "
+            "sum(user_id) AS uid_sum FROM events GROUP BY 1 ORDER BY et"
+        ),
+        "null_safe_projection": (
+            "SELECT sum(coalesce(CAST(json_extract_string(props, '$.absent') "
+            "AS BIGINT), -1)) AS missing_defaulted, "
+            "sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), "
+            "-1)) AS present_sum FROM events"
         ),
         "binary_metadata": (
             "SELECT doc_id, "

@@ -24,21 +24,42 @@ def retention_victims(df: DataFrame, ts_col: str, cutoff: str) -> DataFrame:
 
 def purge_by_retention(spark: SparkSession, path: str, ts_col: str,
                        cutoff: str, partition_col: str = "dt") -> int:
-    """Rewrite only the date partitions that contain expired rows
-    (partition pruning keeps untouched partitions untouched — the Iceberg
-    DELETE equivalent). Returns number of rows removed."""
+    """Rewrite only the date partitions that contain expired rows — the
+    partition-level equivalent of an Iceberg DELETE (untouched partitions
+    are never read or written). Returns number of rows removed.
+
+    Stage-then-swap: survivors of affected partitions are materialized to a
+    staging dir FIRST (a lazy self-overwrite would read the files it is
+    replacing), then each affected partition directory is swapped in via
+    the Hadoop FileSystem API. A dynamic-partition overwrite alone is not
+    enough: a fully-expired partition has no surviving rows, so nothing is
+    written for it and the stale directory would survive."""
     df = spark.read.parquet(path)
     victims = df.filter(F.col(ts_col) < F.lit(cutoff))
-    affected = [r[0] for r in
+    affected = [str(r[0]) for r in
                 victims.select(partition_col).distinct().collect()]
     if not affected:
         return 0
     removed = victims.count()
-    keep = df.filter(
-        F.col(partition_col).isin(affected)
-        & (F.col(ts_col) >= F.lit(cutoff))
+
+    staging = path.rstrip("/") + "_purge_staging"
+    survivors = df.filter(
+        F.col(partition_col).isin(affected) & (F.col(ts_col) >= F.lit(cutoff))
     )
-    (keep.write.mode("overwrite").partitionBy(partition_col).parquet(path))
+    (survivors.write.mode("overwrite").partitionBy(partition_col)
+     .parquet(staging))
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    for part in affected:
+        dst = hpath(f"{path}/{partition_col}={part}")
+        src = hpath(f"{staging}/{partition_col}={part}")
+        fs.delete(dst, True)
+        if fs.exists(src):  # fully-expired partitions have no staged dir
+            fs.rename(src, dst)
+    fs.delete(hpath(staging), True)
     return removed
 
 
