@@ -22,6 +22,31 @@ def test_salted_repartition_spreads_hot_host(spark):
     assert max(r["count"] for r in parts) <= 900 * 0.35  # no mega-partition
 
 
+def test_extreme_long_doc_bounded(spark):
+    """A 2M-char document flows through the whole pipeline: per-row state is
+    bounded to the probe prefix after extraction, and the labels still match
+    the oracle (which probes the same prefix)."""
+    from langid_mr_spark import oracle, textnorm as TN
+
+    huge = ("the quick brown fox jumps over the lazy dog and the story "
+            "continues with more words for you and me today ") * 20000
+    rows = [("https://huge.example/1", huge), ("https://tiny.example/2", "hi")]
+    df = spark.createDataFrame(rows, ["url", "text"]).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+    ).withColumn("html", F.encode(F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>")), "utf-8")
+    ).withColumn("lang", F.lit("en")).withColumn("family", F.lit("x"))
+
+    got = {r["url"]: r for r in pipeline.run_pipeline(df).collect()}
+    o = oracle.process_one("https://huge.example/1",
+                           TN.wrap_html(huge, "t"), huge)
+    r = got["https://huge.example/1"]
+    assert r["gate_decision"] == o["gate_decision"]
+    assert r["scrubbed_text"] == o["scrubbed_text"]
+    assert r["quality_fail_reason"] == o["quality_fail_reason"]
+
+
 def test_rewrite_language_codes(spark):
     src = fixtures.corpus_df(spark, 60, num_partitions=2)
     out = pipeline.run_pipeline(src)
