@@ -49,8 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cascade (SURVEY §2.5) over documents.text; model scoring runs in
     iterator pandas UDFs — no SQL oracle (rows-only check)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("lang", "src_lang")
-    gated = gate.apply_gate(docs, text_col="text")
+    gated = gate.apply_gate(docs, text_col="text",
+                            persist_level=StorageLevel.DISK_ONLY)
     return (
         gated.groupBy("gate_decision", "keep")
         .agg(F.count(F.lit(1)).alias("docs"))
