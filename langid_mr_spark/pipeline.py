@@ -278,14 +278,20 @@ def rewrite_language_codes(df: DataFrame, fmt: str) -> DataFrame:
 # --- D1: salted repartition --------------------------------------------------------
 
 def salted_repartition(df: DataFrame, n: int, key: str = "url",
-                       salt_buckets: int = 16) -> DataFrame:
+                       salt_buckets: int = 16,
+                       cluster_cols: list[str] | None = None) -> DataFrame:
     """Round-robin analog (scheduler.py:39-58) upgraded per the north rule:
     hash-partition on (host-prefix ⊕ salt) so web pages from one hot host —
     the repeated key at Common-Crawl scale — spread over ``salt_buckets``
-    partitions instead of one (SURVEY.md §2.7 D1)."""
+    partitions instead of one (SURVEY.md §2.7 D1).
+
+    ``cluster_cols`` (e.g. the output's date partition column) join the
+    partition key so each task's rows land in few table partitions — without
+    it a partitioned write fans out to n_tasks × n_dates small files."""
     host = F.substring_index(F.col(key), "/", 3)
     salt = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
-    return df.repartition(n, F.xxhash64(host, salt))
+    cols = [F.col(c) for c in (cluster_cols or [])]
+    return df.repartition(n, *cols, F.xxhash64(host, salt))
 
 
 # --- A9 counters: observe + metrics table --------------------------------------------
@@ -375,7 +381,7 @@ def run_resumable(
 
     out = with_dt(run_pipeline(src, **pipeline_kwargs))
     if repartition_n:
-        out = salted_repartition(out, repartition_n)
+        out = salted_repartition(out, repartition_n, cluster_cols=["dt"])
 
     out, obs = observed(out)
     (out.write.mode("overwrite").partitionBy("dt").parquet(output_path))
@@ -383,7 +389,12 @@ def run_resumable(
     final = with_dt(spark.read.parquet(output_path)).filter(
         F.col("dt").isin(*pending)
     )
-    (metrics_table(final, run_id).write.mode("append").parquet(metrics_path))
+    # dynamic partition overwrite keyed by dt: a crash between this write
+    # and the checkpoint append must not duplicate metrics on resume —
+    # re-processing a partition REPLACES its metrics rows (exactly-once
+    # lineage, SURVEY §4.2(c))
+    (metrics_table(final, run_id).write.mode("overwrite")
+     .partitionBy("dt").parquet(metrics_path))
 
     ckpt = spark.createDataFrame(
         [(run_id, d) for d in sorted(pending)], "run_id string, dt string"

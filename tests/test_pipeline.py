@@ -153,3 +153,12 @@ def test_resume_idempotent(spark, tmp_path):
     assert a.count() == 60 and b.count() == 60
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+    # lineage metrics are exactly-once: no duplicate (dt, lang, reason)
+    # groups even across the interrupted + resumed runs, and the counters
+    # reconcile with the output
+    m = spark.read.parquet(out_b + "_metrics")
+    assert m.count() == m.select("dt", "language", "drop_reason").distinct().count()
+    assert m.agg(F.sum("docs")).collect()[0][0] == 60
+    kept = spark.read.parquet(out_b).filter(F.col("keep")).count()
+    assert m.agg(F.sum("kept")).collect()[0][0] == kept
