@@ -103,8 +103,55 @@ _ES_WORDS = ("hola el la los las un una y o que para con este esta es yo "
              "nosotros historia música cine noche preguntas pedidos día "
              "semana tiempo trabajo casa agua luz mañana jardín").split()
 
+# Coherent running text per language (written for these fixtures — NOT the
+# scorer's embedded training sentences): most real web pages are fluent
+# prose that the first scoring pass decides, so most filler documents are
+# contiguous spans of these, with a word-salad minority for the noisy tail.
+_EN_PROSE = (
+    "last night we walked along the river and watched the city lights come "
+    "on one by one while the rain held off just long enough . the shop on "
+    "the corner sells fresh bread every morning and the smell drifts down "
+    "the whole street before the buses start running . she finished the "
+    "report before lunch and spent the afternoon answering questions from "
+    "the new team about the project and the plan for next week . if you "
+    "want to learn a new skill you should practice a little every day and "
+    "ask for help when you get stuck because that is how everyone improves "
+    ". the garden needs water in the summer and the flowers near the fence "
+    "always bloom first when the light returns in the spring ."
+).split()
+_FR_PROSE = (
+    "hier soir nous avons marché le long de la rivière et regardé les "
+    "lumières de la ville s'allumer une par une pendant que la pluie "
+    "attendait encore un peu . la boutique du coin vend du pain frais "
+    "chaque matin et l'odeur descend toute la rue avant le passage des "
+    "premiers bus . elle a terminé le rapport avant midi et a passé "
+    "l'après-midi à répondre aux questions de la nouvelle équipe sur le "
+    "projet et le plan de la semaine prochaine . si vous voulez apprendre "
+    "une nouvelle compétence il faut pratiquer un peu chaque jour et "
+    "demander de l'aide quand on est bloqué parce que c'est ainsi que tout "
+    "le monde progresse . le jardin a besoin d'eau en été et les fleurs "
+    "près de la clôture fleurissent toujours en premier au printemps ."
+).split()
+_ES_PROSE = (
+    "anoche caminamos a lo largo del río y vimos las luces de la ciudad "
+    "encenderse una por una mientras la lluvia esperaba un poco más . la "
+    "tienda de la esquina vende pan fresco cada mañana y el olor baja por "
+    "toda la calle antes de que pasen los primeros autobuses . ella terminó "
+    "el informe antes del mediodía y pasó la tarde respondiendo preguntas "
+    "del nuevo equipo sobre el proyecto y el plan de la próxima semana . si "
+    "quieres aprender una nueva habilidad debes practicar un poco cada día "
+    "y pedir ayuda cuando te quedes atascado porque así es como todos "
+    "mejoran ."
+).split()
+
 
 def _synth_text(rng: np.random.Generator, lang: str, n_words: int) -> str:
+    # 70% coherent prose span (pass-1-decidable, like real fluent pages),
+    # 30% word salad (the low-signal tail that exercises pass 2/3)
+    if rng.random() < 0.7:
+        prose = {"en": _EN_PROSE, "fr": _FR_PROSE, "other": _ES_PROSE}[lang]
+        start = int(rng.integers(0, max(len(prose) - n_words, 1)))
+        return " ".join(prose[start:start + n_words])
     pool = {"en": _EN_WORDS, "fr": _FR_WORDS, "other": _ES_WORDS}[lang]
     return " ".join(pool[i] for i in rng.integers(0, len(pool), n_words))
 
@@ -120,8 +167,11 @@ def make_corpus(n: int = 500, seed: int = 42,
         if i % 3 == 0:
             text, lang, family = CASES[(i // 3) % len(CASES)]
         else:
-            lang = ("en", "fr", "other")[int(rng.integers(0, 3))]
-            text = _synth_text(rng, lang, int(rng.integers(8, 60)))
+            # web-realistic language mix; spans long enough that fluent
+            # pages are mostly first-pass-decidable
+            u = rng.random()
+            lang = "en" if u < 0.45 else ("fr" if u < 0.75 else "other")
+            text = _synth_text(rng, lang, int(rng.integers(15, 90)))
             family = f"synth_{lang}"
         if long_doc_every and i % long_doc_every == long_doc_every - 1 and text:
             text = " ".join([text] * 100)
