@@ -317,6 +317,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_bucket_topk(vec, q, k=5, dim=32).orderBy("qid", "rank")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, id_a < id_b, sim ≥
+    0.45; double math bit-identical to DuckDB list_dot_product)."""
+    vec = _t(spark, sf_dir, "embeddings")
+    a = vec.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = vec.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 heuristic quality metrics + first failed rule per doc."""
     docs = _t(spark, sf_dir, "documents")
@@ -499,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,     # rows-only (approx LSH)
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,         # rows-only (approx LSH)
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
@@ -690,6 +708,18 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM r) "
             "SELECT qid, rank, vec_id, round(sim, 6) AS sim FROM w "
             "WHERE rank <= 5 ORDER BY qid, rank"
+        ),
+        "embedding_near_dups": (
+            "WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) "
+            "  AS dp, sqrt(list_dot_product(a.embedding::DOUBLE[], "
+            "  a.embedding::DOUBLE[])) * sqrt(list_dot_product("
+            "  b.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS d "
+            "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, round(CASE WHEN d = 0 THEN 0.0 ELSE dp / d "
+            "END, 6) AS sim FROM s "
+            "WHERE round(CASE WHEN d = 0 THEN 0.0 ELSE dp / d END, 6) "
+            ">= 0.45 ORDER BY id_a, id_b"
         ),
         "quality_flags": (
             f"WITH t AS ({_TOKS_CTE}), "
