@@ -133,25 +133,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     groupBy (band index, band content) → pairs within buckets. The join is
     bucket-local: the only all-to-all movement is one shuffle on the band
     key, which is what makes this viable at 10^12 documents."""
-    rows = num_perm // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_perm, n).alias("sig"))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.array_join(
-                        F.transform(F.slice(F.col("sig"), bidx * rows + 1, rows),
-                                    lambda v: v.cast("string")),
-                        "_",
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = banded_signatures(df, id_col, text_col, num_perm, bands, n)
     left = banded.select("band", "key", F.col("id").alias("id_a"))
     right = banded.select("band", "key", F.col("id").alias("id_b"))
     return (
@@ -177,6 +159,60 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
         .filter(F.col("j") >= threshold)
     )
+
+
+# --- incremental dedup against a persistent signature store -------------------------
+
+def banded_signatures(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 32,
+                      bands: int = 16, n: int = 3) -> DataFrame:
+    """(id, band, key) rows — the storable LSH index of a corpus batch."""
+    rows = num_perm // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_perm, n).alias("sig"))
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.array_join(
+                        F.transform(F.slice(F.col("sig"), bidx * rows + 1, rows),
+                                    lambda v: v.cast("string")),
+                        "_",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def incremental_candidates(new_sigs: DataFrame,
+                           stored_sigs: DataFrame) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch against itself and against
+    the existing corpus — without re-hashing the corpus. The stored side is
+    only ever probed on (band, key), so at 10^12 documents each incremental
+    batch costs O(batch) hashing plus one bucket-key join (bucket/partition
+    the store by `key` to make the probe shuffle-free — see bucketing.py).
+
+    Returns (id_a, id_b): old-vs-new pairs as (stored id, new id) in any id
+    order; new-vs-new pairs once with id_a < id_b. Verify with `jaccard` on
+    the candidate set."""
+    new_a = new_sigs.select("band", "key", F.col("id").alias("id_a"))
+    new_b = new_sigs.select("band", "key", F.col("id").alias("id_b"))
+    new_vs_new = (
+        new_a.join(new_b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    stored_a = stored_sigs.select("band", "key", F.col("id").alias("id_a"))
+    old_vs_new = (
+        stored_a.join(new_b, ["band", "key"])
+        .filter(F.col("id_a") != F.col("id_b"))  # re-ingested same doc
+        .select("id_a", "id_b")
+    )
+    return new_vs_new.unionByName(old_vs_new).distinct()
 
 
 # --- SimHash -----------------------------------------------------------------------

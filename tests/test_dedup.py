@@ -82,6 +82,26 @@ def test_minhash_candidates_superset_of_verified(docs):
     assert verified <= cands
 
 
+def test_incremental_candidates(spark, docs):
+    """New-batch dedup against a stored signature index: finds old-vs-new
+    and new-vs-new near-dups without re-hashing the stored corpus."""
+    stored = dedup.banded_signatures(docs)  # docs 0-5 already indexed
+    new_rows = [
+        (10, BASE),    # duplicate of stored 0/1
+        (11, NEAR),    # near-dup of stored 0/1 and of new 12
+        (12, NEAR),    # exact dup of new 11
+        (13, "unrelated fresh content about mountains and rivers today"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    cands = {(r["id_a"], r["id_b"]) for r in dedup.incremental_candidates(
+        dedup.banded_signatures(new), stored).collect()}
+    assert (0, 10) in cands and (1, 10) in cands   # old vs new exact
+    assert (0, 11) in cands                        # old vs new near
+    assert (11, 12) in cands                       # new vs new
+    assert all(b >= 10 for _, b in cands)          # id_b always new-batch
+    assert not any(a == 13 or b == 13 for a, b in cands)
+
+
 def test_simhash_distance(docs):
     got = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert got[0] == got[1]  # identical docs → identical fingerprint
