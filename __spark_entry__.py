@@ -61,6 +61,59 @@ def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# probability = min(0.99, mult · max(stopword ratio)); the pass-2 scorer uses
+# a higher multiplier than pass 1 (the reference's mocks likewise return
+# different scores per transcribe() call, test_enfr_gate.py:94-116) so the
+# fixture corpus exercises C6 vad-accept, not just C1-C4/C8.
+_SCORER1_MULT = 4.0
+_SCORER2_MULT = 12.0
+
+
+def _make_heuristic_scorer(mult: float):
+    """SQL-expressible injected scorer (the reference's mock-detector hook,
+    conftest.py:24): language = argmax stopword ratio, probability =
+    min(0.99, mult·max(ratio)). Every operation is a single IEEE double op
+    on integer-count ratios, so the DuckDB twin is bit-identical."""
+    def scorer(col):
+        toks = X.tokenize(col)
+        en, fr = X.stopword_ratio(toks, "en"), X.stopword_ratio(toks, "fr")
+        lang = (F.when(en > fr, F.lit("en")).when(fr > en, F.lit("fr"))
+                .otherwise(F.lit("und")))
+        prob = F.least(F.lit(0.99), F.greatest(en, fr) * F.lit(mult))
+        return F.struct(lang.alias("lang"), prob.alias("prob"))
+    return scorer
+
+
+def _heuristic_ppl_scorer(col):
+    """Injected fallback scorer: 'perplexity' = the stopword ratios (higher
+    is better, matching argmax_en_fr's orientation)."""
+    toks = X.tokenize(col)
+    return F.struct(X.stopword_ratio(toks, "en").alias("ppl_en"),
+                    X.stopword_ratio(toks, "fr").alias("ppl_fr"))
+
+
+def q_gate_decisions_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL C1–C8 cascade (SURVEY §2.5) with injected SQL-expressible
+    scorers — every branch label, emitted field, and derived column is
+    value-checked against a DuckDB CTE chain that replicates the cascade
+    (lang_gate.py:340-546 branch order). This is the valued twin of
+    ``gate_decisions`` (which runs the real model UDFs, rows-only)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = gate.apply_gate(
+        docs, text_col="text",
+        scorer=_make_heuristic_scorer(_SCORER1_MULT),
+        scorer2=_make_heuristic_scorer(_SCORER2_MULT),
+        ppl_scorer=_heuristic_ppl_scorer,
+        persist_level=None,
+    )
+    return gated.select(
+        "doc_id", "gate_decision", "language", "probability",
+        "detection_method", "use_vad", "en_ratio", "fr_ratio",
+        "token_count", "music_only", "mid_zone", "keep", "drop_reason",
+        "gate_path", "pipeline_mode",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # relational operator families (SURVEY §2.2 / §2.6) — DuckDB-oracled
 # ---------------------------------------------------------------------------
@@ -85,12 +138,25 @@ def q_recent_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_recent_avg_duration(ev: DataFrame, k: int = 50) -> DataFrame:
+    """A4 core (main.py:283-312): the reference PREFERS the JSON result's
+    duration field, falls back to the measured value, and returns 0.0 (not
+    NULL) on an empty set — all three behaviors reproduced here."""
+    dur = F.coalesce(
+        F.get_json_object(F.col("props"), "$.duration").cast("double"),
+        F.col("value"),
+    )
+    top = (ev.select(F.col("ts"), F.col("event_id"), dur.alias("dur"))
+           .orderBy(F.desc("ts"), F.desc("event_id")).limit(k))
+    return top.agg(
+        F.coalesce(F.round(F.avg("dur"), 2), F.lit(0.0)).alias("avg_duration")
+    )
+
+
 def q_top50_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (main.py:283-312): top-50 most recent orders → mean total price
+    """A4 (main.py:283-312): 50 most recent events → mean duration
     (TakeOrderedAndProject, no full sort)."""
-    o = _t(spark, sf_dir, "orders")
-    top = o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")).limit(50)
-    return top.agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return top_recent_avg_duration(_t(spark, sf_dir, "events"))
 
 
 def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +333,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard, top-20 (the near-dup verifier)."""
+    """Exact all-pairs 3-gram Jaccard, top-20. DELIBERATELY O(n²): this is
+    the small-scale exactness VERIFIER for the LSH dedup family (global
+    top-k by similarity has no threshold, so banded LSH cannot bound its
+    recall) — the scale path for thresholded near-dup is ``near_dup_pairs``.
+    Run this only on samples/candidate sets, never a full corpus."""
     docs = _t(spark, sf_dir, "documents")
     return (DD.jaccard_pairs(docs)
             .orderBy(F.desc("j"), "id_a", "id_b").limit(20))
@@ -284,9 +354,10 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified at Jaccard ≥ 0.5 — approximate
-    candidate generation, so rows-only (the exact verifier above is the
-    valued oracle)."""
+    """MinHash-LSH candidates verified at Jaccard ≥ 0.5. Fully
+    deterministic (fixed permutation constants), so the DuckDB oracle
+    replicates the banded LSH end-to-end — signature, banding, bucket
+    join, exact-Jaccard verification."""
     docs = _t(spark, sf_dir, "documents")
     return (DD.minhash_near_duplicates(docs, threshold=0.5)
             .orderBy("id_a", "id_b"))
@@ -307,31 +378,37 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(vec, q, k=5).orderBy("qid", "rank")
 
 
+# testdata embeddings are 64-wide; dim MUST match the data — zip_with pads a
+# short hyperplane with NULLs, which silently collapses all buckets to 0
+_EMB_DIM = 64
+_ANN_PLANES = 6
+_NDUP_TABLES, _NDUP_PLANES = 16, 4
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-5 (approximate → rows-only; recall vs
-    cosine_topk is asserted by tests/test_similarity.py)."""
+    """Sign-LSH bucketed ANN top-5 with Hamming-1 multiprobe. Hyperplanes
+    are deterministic, so the DuckDB oracle replicates bucketing + probing
+    + scoring exactly (recall vs cosine_topk is additionally asserted by
+    tests/test_similarity.py)."""
     vec = _t(spark, sf_dir, "embeddings")
     q = (vec.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qvec")))
-    return SIM.lsh_bucket_topk(vec, q, k=5, dim=32).orderBy("qid", "rank")
+    return SIM.lsh_bucket_topk(
+        vec, q, k=5, dim=_EMB_DIM, planes=_ANN_PLANES).orderBy("qid", "rank")
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, id_a < id_b, sim ≥
-    0.45; double math bit-identical to DuckDB list_dot_product)."""
+    """Embedding-cosine near-duplicate pairs via the SCALE path: banded
+    sign-LSH candidates + exact-cosine verification (similarity.py). The
+    all-pairs formula survives only as the DuckDB oracle; equality holds
+    because the 16×4 table config has recall 1.0 on the fixture corpus
+    (and verification is exact, so candidates ∩ truth = truth)."""
     vec = _t(spark, sf_dir, "embeddings")
-    a = vec.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"))
-    b = vec.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
-        .filter(F.col("sim") >= 0.45)
-        .orderBy("id_a", "id_b")
-    )
+    return SIM.lsh_near_dup_pairs(
+        vec, threshold=0.45, dim=_EMB_DIM,
+        tables=_NDUP_TABLES, planes=_NDUP_PLANES,
+    ).orderBy("id_a", "id_b")
 
 
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,10 +558,60 @@ def _sql_quote(words) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
 
 
+def _re2_detector(pattern: str) -> str:
+    """Translate a SCRUB_RULES pattern into a lookaround-free RE2 detector.
+
+    DuckDB's RE2 has no lookaround; every guard in SCRUB_RULES is a negative
+    lookaround over a character class, which for *existence testing* (not
+    replacement) is equivalent to consuming `(^|[^cls])` / `([^cls]|$)`.
+    Detection equivalence to the sequential scrub: the scrubbed text differs
+    from the input iff the FIRST rule to fire matches the original text
+    (earlier rules leave the text untouched until one fires, and every
+    replacement token is inert w.r.t. later rules), which is exactly
+    OR-over-detectors on the original text."""
+    import re as _re
+
+    out = _re.sub(r"\(\?<!\[([^\]]+)\]\)", r"(^|[^\1])", pattern)
+    out = _re.sub(r"\(\?!\[([^\]]+)\]\)", r"([^\1]|$)", out)
+    # bare single-char classes, e.g. (?<![0-9]) already covered above; any
+    # construct this translator does not understand must fail loudly, not
+    # silently diverge
+    if "(?<" in out or "(?!" in out or "(?=" in out:
+        raise ValueError(f"untranslatable lookaround in scrub rule: {pattern}")
+    return out
+
+
+def _scrub_detector_sql() -> str:
+    """`unchanged` oracle: NOT (any SCRUB_RULES pattern matches the text)."""
+    det = " OR ".join(
+        "regexp_matches(text, '"
+        + _re2_detector(pattern).replace("'", "''") + "')"
+        for _, pattern, _ in SCRUB.SCRUB_RULES
+    )
+    return (
+        f"SELECT doc_id, NOT ({det}) AS unchanged "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 _EN_SW_SQL = _sql_quote(C.EN_STOPWORDS)
 _FR_SW_SQL = _sql_quote(C.FR_STOPWORDS)
+
+# DuckDB (RE2) \w and \s are ASCII-only, while the Spark side uses (?U)\w /
+# (?U)\s (Java) and the Python twin uses unicode re — an accented document
+# ('cinéma') would silently diverge. These explicit property classes agree
+# with BOTH Java (?U) and Python unicode semantics on every L*/Nd codepoint
+# plus underscore/apostrophe (word) and the Unicode White_Space set (space).
+# Remaining exotic-category divergence (No superscripts, combining marks,
+# non-underscore Pc) is where Java and Python *themselves* disagree and is
+# excluded from the fixture grammar.
+_WORD_SPLIT_RE = r"[^\p{L}\p{Nd}_']+"          # ≙ Java (?U)[^\w']+ on L*/Nd
+_WS_RE = r"[\s\x{000b}\x{0085}\p{Z}]+"         # ≙ Java (?U)\s+
+_WORDLIKE_CLASS = r"[\p{L}\p{Nd}_\s\x{000b}\x{0085}\p{Z}]"  # ≙ (?U)[\w\s]
+
 _TOKENIZE_SQL = (
-    "list_filter(regexp_split_to_array(lower(text), '[^\\w'']+'), "
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{_WORD_SPLIT_RE.replace(chr(39), chr(39) * 2)}'), "
     "x -> x <> '')"
 )
 
@@ -492,6 +619,7 @@ _TOKENIZE_SQL = (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_decisions": q_gate_decisions,       # rows-only (model UDFs)
+        "gate_decisions_oracle": q_gate_decisions_oracle,
         "count_by_status": q_count_by_status,
         "recent_window_count": q_recent_window_count,
         "top50_avg": q_top50_avg,
@@ -513,11 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_sig": q_minhash_sig,
-        "near_dup_pairs": q_near_dup_pairs,     # rows-only (approx LSH)
+        "near_dup_pairs": q_near_dup_pairs,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "ann_lsh_topk": q_ann_lsh_topk,         # rows-only (approx LSH)
+        "ann_lsh_topk": q_ann_lsh_topk,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
@@ -534,9 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # DuckDB-side building blocks shared by several oracles
 _TOKS_CTE = (
-    "SELECT doc_id, text, list_filter("
-    "regexp_split_to_array(lower(text), '[^\\w'']+'), x -> x <> '') AS toks "
-    "FROM documents"
+    f"SELECT doc_id, text, {_TOKENIZE_SQL} AS toks FROM documents"
 )
 _SHINGLE_CTE = (
     "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
@@ -580,8 +706,293 @@ def _simhash_sql(bits: int = 16) -> str:
     )
 
 
+# --- gate cascade oracle (C1–C8 as a DuckDB CTE chain) ----------------------
+
+def _sql_re(pattern: str) -> str:
+    """Embed a regex in a SQL single-quoted literal."""
+    return pattern.replace("'", "''")
+
+
+def _gtok(x: str) -> str:
+    """DuckDB twin of exprs.tokenize(col) for an arbitrary expression."""
+    return (f"list_filter(regexp_split_to_array(lower({x}), "
+            f"'{_sql_re(_WORD_SPLIT_RE)}'), t -> t <> '')")
+
+
+def _gratio(toks: str, sw_sql: str) -> str:
+    """DuckDB twin of exprs.stopword_ratio (0.0 on empty token list)."""
+    return (f"CASE WHEN len({toks}) = 0 THEN 0.0 ELSE "
+            f"len(list_filter({toks}, t -> list_contains([{sw_sql}], t))) "
+            f"* 1.0 / len({toks}) END")
+
+
+def _gustrip(x: str) -> str:
+    """DuckDB twin of exprs._ustrip (unicode strip both ends)."""
+    ws = _WS_RE.rstrip("+")
+    return f"regexp_replace({x}, '^{ws}+|{ws}+$', '', 'g')"
+
+
+def _gglyph(x: str) -> str:
+    glyphs = "".join(C.MUSIC_UNICODE_MARKERS)
+    return f"regexp_replace({x}, '[{glyphs}]', ' music ', 'g')"
+
+
+def _gpeel(x: str) -> str:
+    """DuckDB twin of exprs.strip_outer_brackets: BRACKET_STRIP_MAX_LAYERS
+    unrolled layers of anchored peel (4 sequential replaces per layer), with
+    the same first-character guard."""
+    ws = _WS_RE.rstrip("+")
+    out = x
+    for _ in range(C.BRACKET_STRIP_MAX_LAYERS):
+        for o, c in C.BRACKET_PAIRS.items():
+            # RE2 rejects \< — escape bracket chars via \x{..} codepoints
+            oe, ce = f"\\x{{{ord(o):02X}}}", f"\\x{{{ord(c):02X}}}"
+            out = (f"regexp_replace({out}, "
+                   f"'(?s)^{oe}{ws}*(.*?){ws}*{ce}$', '\\1')")
+    openers = ", ".join(f"'{o}'" for o in C.BRACKET_PAIRS)
+    return f"CASE WHEN substr({x}, 1, 1) IN ({openers}) THEN {out} ELSE {x} END"
+
+
+def _gvad(x: str) -> str:
+    """DuckDB twin of exprs.vad_clean."""
+    spans = r"\[[^\]]*\]|\([^)]*\)|\{[^}]*\}|<[^>]*>"
+    inner = f"regexp_replace({x}, '{spans}', ' ', 'g')"
+    inner = _gglyph(inner)
+    inner = f"regexp_replace({inner}, '{_WS_RE}', ' ', 'g')"
+    return _gustrip(inner)
+
+
+def _gmusic_cols(src: str, prefix: str) -> str:
+    """CTE fragment staging exprs.is_music_only over column ``{prefix}_in``
+    of relation ``src``; exposes boolean ``{prefix}_music``. The rlike guard
+    in the Spark expression is an exact necessary condition (fuzz-asserted by
+    tests/test_property_parity.py), so the oracle evaluates the full
+    predicate unguarded."""
+    p = prefix
+    kw = _sql_quote(C.MUSIC_KEYWORDS)
+    fill = _sql_quote(C.MUSIC_FILLER_TOKENS)
+    kwf = _sql_quote(C.MUSIC_KEYWORDS | C.MUSIC_FILLER_TOKENS)
+    return (
+        f"{p}a AS (SELECT *, {_gustrip(f'{p}_in')} AS {p}_w0 FROM {src}), "
+        f"{p}b AS (SELECT *, lower({_gglyph(f'{p}_w0')}) AS {p}_le FROM {p}a), "
+        f"{p}c AS (SELECT *, {_gpeel(f'{p}_le')} AS {p}_wk FROM {p}b), "
+        f"{p}d AS (SELECT *, {_gtok(f'{p}_wk')} AS {p}_tk FROM {p}c), "
+        f"{p}e AS (SELECT *, ("
+        f"{p}_in IS NOT NULL AND {p}_w0 <> '' AND {p}_wk <> '' "
+        f"AND len({p}_tk) > 0 "
+        f"AND len(list_filter({p}_tk, t -> NOT list_contains([{kwf}], t))) = 0 "
+        f"AND len(list_filter({p}_tk, t -> NOT list_contains([{fill}], t))) > 0 "
+        f"AND len(list_filter(list_filter({p}_tk, "
+        f"t -> NOT list_contains([{fill}], t)), "
+        f"t -> NOT list_contains([{kw}], t))) = 0"
+        f") AS {p}_music FROM {p}d)"
+    )
+
+
+def _gate_oracle_sql() -> str:
+    """DuckDB replica of gate.apply_gate with the heuristic scorers injected
+    (cascade branch order: lang_gate.py:340-546; emissions: gate.py
+    _emit_pass1/2/3; derived columns: gate.with_derived)."""
+    allowed = ", ".join(f"'{x}'" for x in sorted(C.ALLOWED_LANGS))
+    keeps = ", ".join(f"'{x}'" for x in sorted(C.KEEP_DECISIONS))
+    scorer = (
+        "CASE WHEN {e} > {f} THEN 'en' WHEN {f} > {e} THEN 'fr' "
+        "ELSE 'und' END"
+    )
+    prob = "least(0.99, greatest({{e}}, {{f}}) * {m})"
+    prob1t = prob.format(m=_SCORER1_MULT)
+    prob2t = prob.format(m=_SCORER2_MULT)
+    return (
+        "WITH d0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, "
+        f"{C.PROBE_CHARS}) AS probe FROM documents), "
+        # pass 1: heuristics + injected scorer on the probe
+        f"t1 AS (SELECT doc_id, probe, {_gtok('probe')} AS toks1, "
+        "probe AS m1_in FROM d0), "
+        f"{_gmusic_cols('t1', 'm1')}, "
+        "p1 AS (SELECT doc_id, probe, len(toks1) AS tc1, "
+        f"{_gratio('toks1', _EN_SW_SQL)} AS en1, "
+        f"{_gratio('toks1', _FR_SW_SQL)} AS fr1, m1_music AS music1 "
+        "FROM m1e), "
+        "s1 AS (SELECT *, "
+        f"{scorer.format(e='en1', f='fr1')} AS lang1, "
+        f"{prob1t.format(e='en1', f='fr1')} AS prob1 FROM p1), "
+        # C1–C4 (lang_gate.py:340-453): NULL = undecided
+        "d1 AS (SELECT *, CASE "
+        f"WHEN music1 THEN '{C.DECISION_MUSIC_ONLY}' "
+        f"WHEN lang1 IN ({allowed}) AND prob1 >= {C.MID_UPPER} "
+        f"AND tc1 >= {C.MIN_TOKENS_FOR_SPEECH} "
+        f"AND greatest(en1, fr1) >= {C.MIN_STOPWORD_FOR_SPEECH} "
+        f"THEN '{C.DECISION_HIGH_CONF}' "
+        f"WHEN lang1 = 'en' AND prob1 >= {C.MID_LOWER} "
+        f"AND tc1 >= {C.MIN_TOKENS_FOR_HEURISTIC} "
+        f"AND en1 >= {C.MID_EN_MIN_STOPWORD_RATIO} "
+        f"AND en1 > fr1 + {C.STOPWORD_MARGIN} THEN '{C.DECISION_MID_EN}' "
+        f"WHEN lang1 = 'fr' AND prob1 >= {C.MID_LOWER} "
+        f"AND tc1 >= {C.MIN_TOKENS_FOR_HEURISTIC} "
+        f"AND fr1 >= {C.MID_FR_MIN_STOPWORD_RATIO} "
+        f"AND fr1 > en1 + {C.STOPWORD_MARGIN} THEN '{C.DECISION_MID_FR}' "
+        "END AS dec1 FROM s1), "
+        # pass 2: vad_clean + scorer2 on the shrinking undecided residue
+        "u1 AS (SELECT doc_id, probe, tc1, en1, fr1 FROM d1 "
+        "WHERE dec1 IS NULL), "
+        f"v1 AS (SELECT *, {_gvad('probe')} AS cleaned FROM u1), "
+        f"v2 AS (SELECT *, {_gtok('cleaned')} AS toks2, cleaned AS m2_in "
+        "FROM v1), "
+        f"{_gmusic_cols('v2', 'm2')}, "
+        "p2 AS (SELECT doc_id, probe, tc1, en1, fr1, len(toks2) AS tc2, "
+        f"{_gratio('toks2', _EN_SW_SQL)} AS en2, "
+        f"{_gratio('toks2', _FR_SW_SQL)} AS fr2, m2_music AS music2 "
+        "FROM m2e), "
+        "s2 AS (SELECT *, "
+        f"{scorer.format(e='en2', f='fr2')} AS lang2, "
+        f"{prob2t.format(e='en2', f='fr2')} AS prob2 FROM p2), "
+        "d2 AS (SELECT *, (music2 OR (lang2 IN "
+        f"({allowed}) AND prob2 >= {C.LANG_DETECT_MIN_PROB})) AS dec2 "
+        "FROM s2), "
+        # emissions (gate.py _emit_pass1/2/3)
+        "e1 AS (SELECT doc_id, dec1 AS gate_decision, "
+        "CASE WHEN music1 THEN 'none' ELSE lang1 END AS language, "
+        "prob1 AS probability, "
+        f"'{C.METHOD_AUTODETECT}' AS detection_method, FALSE AS use_vad, "
+        "CASE WHEN music1 THEN 0.0 ELSE en1 END AS en_ratio, "
+        "CASE WHEN music1 THEN 0.0 ELSE fr1 END AS fr_ratio, "
+        "tc1 AS token_count, music1 AS music_only "
+        "FROM d1 WHERE dec1 IS NOT NULL), "
+        "e2 AS (SELECT doc_id, "
+        f"CASE WHEN music2 THEN '{C.DECISION_MUSIC_ONLY}' "
+        f"ELSE '{C.DECISION_VAD_RETRY}' END AS gate_decision, "
+        "CASE WHEN music2 THEN 'none' ELSE lang2 END AS language, "
+        "prob2 AS probability, "
+        f"'{C.METHOD_AUTODETECT_VAD}' AS detection_method, TRUE AS use_vad, "
+        "CASE WHEN music2 THEN 0.0 ELSE en1 END AS en_ratio, "
+        "CASE WHEN music2 THEN 0.0 ELSE fr1 END AS fr_ratio, "
+        "CASE WHEN music2 THEN tc2 ELSE tc1 END AS token_count, "
+        "music2 AS music_only FROM d2 WHERE dec2), "
+        # C8 fallback: ppl scorer = probe stopword ratios → argmax (ties→en)
+        f"e3 AS (SELECT doc_id, '{C.DECISION_FALLBACK}' AS gate_decision, "
+        "CASE WHEN en1 >= fr1 THEN 'en' ELSE 'fr' END AS language, "
+        "CAST(NULL AS DOUBLE) AS probability, "
+        f"'{C.METHOD_FALLBACK}' AS detection_method, TRUE AS use_vad, "
+        "en1 AS en_ratio, fr1 AS fr_ratio, tc1 AS token_count, "
+        "FALSE AS music_only FROM d2 WHERE NOT dec2), "
+        "uni AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 "
+        "UNION ALL SELECT * FROM e3), "
+        # derived columns (gate.with_derived / gate_metrics.py)
+        "der AS (SELECT *, coalesce(probability, 0.0) AS pv, "
+        "lower(trim(coalesce(gate_decision, ''))) AS dlo, "
+        "lower(trim(coalesce(language, ''))) AS llo, "
+        "lower(trim(coalesce(detection_method, ''))) AS mlo FROM uni), "
+        "der2 AS (SELECT *, "
+        f"(pv >= {C.MID_LOWER} AND pv < {C.MID_UPPER}) AS mid_zone "
+        "FROM der) "
+        "SELECT doc_id, gate_decision, language, probability, "
+        "detection_method, use_vad, en_ratio, fr_ratio, token_count, "
+        "music_only, mid_zone, "
+        f"gate_decision IN ({keeps}) AS keep, "
+        f"CASE WHEN gate_decision = '{C.DECISION_MUSIC_ONLY}' "
+        f"THEN '{C.DROP_MUSIC_ONLY}' "
+        f"WHEN gate_decision = '{C.DECISION_STRICT_REJECT}' "
+        f"THEN '{C.DROP_NON_ENFR_STRICT}' END AS drop_reason, "
+        "CASE "
+        f"WHEN music_only THEN '{C.GATE_PATH_MUSIC_ONLY}' "
+        f"WHEN dlo = 'no_speech_music_only' THEN '{C.GATE_PATH_MUSIC_ONLY}' "
+        f"WHEN dlo = 'fallback' THEN '{C.GATE_PATH_FALLBACK}' "
+        f"WHEN dlo = 'vad_retry' THEN '{C.GATE_PATH_VAD_RETRY}' "
+        f"WHEN dlo = 'accepted_mid_zone_en' THEN '{C.GATE_PATH_MID_ZONE_EN}' "
+        f"WHEN dlo = 'accepted_mid_zone_fr' THEN '{C.GATE_PATH_MID_ZONE_FR}' "
+        f"WHEN dlo = 'accepted_high_conf' THEN '{C.GATE_PATH_HIGH_CONF}' "
+        f"WHEN mid_zone AND llo = 'fr' THEN '{C.GATE_PATH_MID_ZONE_FR}' "
+        f"WHEN mid_zone THEN '{C.GATE_PATH_MID_ZONE_EN}' "
+        f"ELSE '{C.GATE_PATH_UNKNOWN}' END AS gate_path, "
+        "CASE "
+        f"WHEN dlo = 'fallback' THEN '{C.PIPELINE_MODE_FALLBACK}' "
+        "WHEN dlo = 'no_speech_music_only' OR music_only "
+        f"THEN '{C.PIPELINE_MODE_MUSIC_ONLY}' "
+        "WHEN dlo IN ('accepted_mid_zone_en', 'accepted_mid_zone_fr') "
+        f"THEN '{C.PIPELINE_MODE_MID_ZONE}' "
+        f"WHEN mid_zone THEN '{C.PIPELINE_MODE_MID_ZONE}' "
+        f"WHEN dlo = 'vad_retry' THEN '{C.PIPELINE_MODE_VAD}' "
+        f"WHEN use_vad THEN '{C.PIPELINE_MODE_VAD}' "
+        f"WHEN starts_with(mlo, 'vad') THEN '{C.PIPELINE_MODE_VAD}' "
+        f"WHEN dlo = 'accepted_high_conf' THEN '{C.PIPELINE_MODE_BASE}' "
+        f"ELSE '{C.PIPELINE_MODE_UNKNOWN}' END AS pipeline_mode "
+        "FROM der2 ORDER BY doc_id"
+    )
+
+
+def _near_dup_sql(threshold: float = 0.5, num_perm: int = 32,
+                  bands: int = 16) -> str:
+    """DuckDB replica of dedup.minhash_near_duplicates: signature → banded
+    keys → bucket self-join → exact-Jaccard verification."""
+    from langid_mr_spark.dedup import _MERSENNE, _perm_constants
+
+    perms = _perm_constants(num_perm)
+    rows = num_perm // bands
+    sig_items = ", ".join(
+        f"coalesce(list_min(list_transform(h, "
+        f"x -> ({a} * x + {b}) % {_MERSENNE})), {_MERSENNE})"
+        for a, b in perms)
+    jac = ("CASE WHEN len(x.sh) + len(y.sh) "
+           "- len(list_intersect(x.sh, y.sh)) = 0 THEN 0.0 "
+           "ELSE len(list_intersect(x.sh, y.sh)) * 1.0 / (len(x.sh) "
+           "+ len(y.sh) - len(list_intersect(x.sh, y.sh))) END")
+    return (
+        f"WITH t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}), "
+        f"hs AS (SELECT doc_id, list_transform(sh, g -> "
+        f"{_H15.format(x='g')} % {_MERSENNE}) AS h FROM s), "
+        f"sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs), "
+        f"bnd AS (SELECT doc_id, r.range AS band, "
+        f"array_to_string(list_transform(list_slice(sig, "
+        f"r.range * {rows} + 1, r.range * {rows} + {rows}), "
+        f"v -> v::VARCHAR), '_') AS key FROM sig, range({bands}) r), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id), "
+        f"v AS (SELECT c.id_a, c.id_b, {jac} AS j "
+        "FROM cand c JOIN s x ON c.id_a = x.doc_id "
+        "JOIN s y ON c.id_b = y.doc_id) "
+        f"SELECT id_a, id_b, j FROM v WHERE j >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def _ann_lsh_sql(k: int = 5) -> str:
+    """DuckDB replica of similarity.lsh_bucket_topk (Hamming-1 multiprobe):
+    deterministic hyperplanes → sign bucket → probe join → exact cosine."""
+    from langid_mr_spark.similarity import _hyperplanes
+
+    pool = _hyperplanes(_EMB_DIM, _ANN_PLANES)
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product(e, "
+        f"[{', '.join(repr(p) for p in plane)}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b, plane in enumerate(pool))
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(_ANN_PLANES)])
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings), "
+        f"bk AS (SELECT vec_id, e, ({bucket_terms}) AS bucket FROM v), "
+        f"q AS (SELECT vec_id AS qid, e AS qe, unnest([{probes}]) AS pb "
+        "FROM bk WHERE vec_id < 5), "
+        "s AS (SELECT q.qid, bk.vec_id, list_dot_product(bk.e, q.qe) AS dp, "
+        "sqrt(list_dot_product(bk.e, bk.e)) "
+        "* sqrt(list_dot_product(q.qe, q.qe)) AS d "
+        "FROM bk JOIN q ON bk.bucket = q.pb), "
+        "r AS (SELECT qid, vec_id, CASE WHEN d = 0 THEN 0.0 ELSE dp / d END "
+        "AS sim FROM s), "
+        "w AS (SELECT qid, vec_id, sim, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM r) "
+        f"SELECT qid, rank, vec_id, round(sim, 6) AS sim FROM w "
+        f"WHERE rank <= {k} ORDER BY qid, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "gate_decisions_oracle": _gate_oracle_sql(),
+        "near_dup_pairs": _near_dup_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "count_by_status": (
             "SELECT o_orderstatus AS status, count(*) AS cnt "
             "FROM orders GROUP BY o_orderstatus"
@@ -591,9 +1002,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 5 MINUTE"
         ),
         "top50_avg": (
-            "SELECT round(avg(o_totalprice), 2) AS avg_price FROM ("
-            "  SELECT o_totalprice FROM orders "
-            "  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50)"
+            "SELECT coalesce(round(avg(dur), 2), 0.0) AS avg_duration FROM ("
+            "  SELECT coalesce(CAST(json_extract_string(props, '$.duration')"
+            "  AS DOUBLE), value) AS dur FROM events "
+            "  ORDER BY ts DESC, event_id DESC LIMIT 50)"
         ),
         "pct_of_total": (
             "SELECT event_type, count(*) AS cnt, "
@@ -633,9 +1045,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt FROM events GROUP BY bucket ORDER BY bucket"
         ),
         "json_pluck": (
-            "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') "
-            "AS BIGINT)) AS sum_k FROM events GROUP BY event_type "
-            "ORDER BY event_type"
+            # CAST the outer sum: DuckDB SUM(BIGINT) yields HUGEINT (int128),
+            # Spark yields LONG — same value, different hash representation.
+            "SELECT event_type, CAST(sum(CAST(json_extract_string(props, "
+            "'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "token_stats": (
             f"SELECT doc_id, len({_TOKENIZE_SQL}) AS n_tokens, "
@@ -657,12 +1071,12 @@ def oracle_sql() -> dict[str, str]:
             "THEN array_to_string(words[1:10], ' ') || ' ...' "
             "ELSE text END AS truncated FROM ("
             "  SELECT doc_id, text, list_filter("
-            "    regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words"
+            f"    regexp_split_to_array(text, '{_WS_RE}'), x -> x <> '') AS words"
             "  FROM documents) ORDER BY doc_id"
         ),
         "snippet": (
             "SELECT doc_id, array_to_string(list_filter("
-            "regexp_split_to_array(text, '\\s+'), x -> x <> '')[1:10], ' ') "
+            f"regexp_split_to_array(text, '{_WS_RE}'), x -> x <> '')[1:10], ' ') "
             "AS snippet FROM documents ORDER BY doc_id"
         ),
         "iso_mapping": (
@@ -728,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             "  list_aggregate(list_transform(toks, x -> length(x)), 'sum') "
             "  * 1.0 / len(toks) END AS mean_len, "
             " CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-            "  length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+            f"  length(regexp_replace(text, '{_WORDLIKE_CLASS}', '', 'g')) * 1.0 "
             "  / length(text) END AS sym, "
             " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
             "  1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END AS dup, "
@@ -775,7 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "node_merge": (
             "SELECT n_name AS node, "
-            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS "
+            "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS "
             "total_balance_cents, count(*) AS members FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY node"
@@ -792,13 +1206,14 @@ def oracle_sql() -> dict[str, str]:
         "total_count": "SELECT count(*) AS total FROM lineitem",
         "json_roundtrip": (
             "SELECT event_type AS et, count(*) AS cnt, "
-            "sum(user_id) AS uid_sum FROM events GROUP BY 1 ORDER BY et"
+            "CAST(sum(user_id) AS BIGINT) AS uid_sum "
+            "FROM events GROUP BY 1 ORDER BY et"
         ),
         "null_safe_projection": (
-            "SELECT sum(coalesce(CAST(json_extract_string(props, '$.absent') "
-            "AS BIGINT), -1)) AS missing_defaulted, "
-            "sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), "
-            "-1)) AS present_sum FROM events"
+            "SELECT CAST(sum(coalesce(CAST(json_extract_string(props, "
+            "'$.absent') AS BIGINT), -1)) AS BIGINT) AS missing_defaulted, "
+            "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT), -1)) AS BIGINT) AS present_sum FROM events"
         ),
         "binary_metadata": (
             "SELECT doc_id, "
@@ -808,14 +1223,5 @@ def oracle_sql() -> dict[str, str]:
             "octet_length(encode(text)) AS size_bytes "
             "FROM documents ORDER BY doc_id"
         ),
-        "scrub": (
-            "SELECT doc_id, "
-            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
-            "'<EMAIL>', 'g'), "
-            "'(?:[0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), "
-            "'\\+?[0-9]{1,3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}', '<PHONE>', 'g'), "
-            "'(?i)(shit|fuck)', '<TOX>', 'g') = text AS unchanged "
-            "FROM documents ORDER BY doc_id"
-        ),
+        "scrub": _scrub_detector_sql(),
     }

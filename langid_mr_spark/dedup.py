@@ -167,6 +167,11 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 32,
                       bands: int = 16, n: int = 3) -> DataFrame:
     """(id, band, key) rows — the storable LSH index of a corpus batch."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop signature rows and change LSH "
+            "sensitivity")
     rows = num_perm // bands
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_signature(F.col(text_col), num_perm, n).alias("sig"))

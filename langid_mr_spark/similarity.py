@@ -95,15 +95,30 @@ def lsh_signature(col: Column, dim: int, planes: int = 8) -> Column:
 
 
 def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
-                    dim: int = 32, planes: int = 6,
+                    dim: int = 32, planes: int = 6, probe_bits: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's sign-LSH
-    bucket. At 10^12 vectors this is the difference between scanning the
-    world and scanning one bucket; recall is tested on fixtures against
-    cosine_topk."""
+    """Approximate top-k: score only vectors sharing (or, with multiprobe,
+    within Hamming distance ``probe_bits`` of) the query's sign-LSH bucket.
+    At 10^12 vectors this is the difference between scanning the world and
+    scanning a handful of buckets; recall is tested on fixtures against
+    cosine_topk.
+
+    ``dim`` MUST equal the embedding length: zip_with pads a shorter
+    hyperplane with NULLs, which nulls the projection and silently collapses
+    every vector into bucket 0 (brute force). Multiprobe explodes each query
+    to its bucket plus the ``planes`` buckets one bit-flip away — a vector
+    has exactly one bucket, so no probe can match a pair twice."""
     v = vectors.withColumn("_bucket", lsh_signature(F.col(vec_col), dim, planes))
-    q = queries.withColumn("_bucket", lsh_signature(F.col(qvec_col), dim, planes))
+    q = queries.withColumn("_qbucket", lsh_signature(F.col(qvec_col), dim, planes))
+    if probe_bits >= 1:
+        probes = F.array(
+            F.col("_qbucket"),
+            *[F.col("_qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(planes)],
+        )
+    else:
+        probes = F.array(F.col("_qbucket"))
+    q = q.select("*", F.explode(probes).alias("_bucket")).drop("_qbucket")
     joined = v.join(F.broadcast(q), "_bucket").select(
         F.col(qid_col),
         F.col(id_col),
@@ -114,4 +129,69 @@ def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
+# --- banded sign-LSH near-duplicate pairs (scale path) -------------------------
+
+def lsh_table_buckets(vectors: DataFrame, dim: int, tables: int = 16,
+                      planes: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket) rows — a banded sign-LSH index (the embedding
+    analog of dedup.banded_signatures). Table t uses hyperplanes
+    [t·planes, (t+1)·planes) of one deterministic pool, so any (tables,
+    planes) split of the same pool is reproducible in SQL."""
+    pool = _hyperplanes(dim, tables * planes)
+    entries = []
+    for t in range(tables):
+        bucket = F.lit(0)
+        for b, plane in enumerate(pool[t * planes:(t + 1) * planes]):
+            proj = F.aggregate(
+                F.zip_with(
+                    _to_double(F.col(vec_col)),
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return vectors.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("tb")
+    ).select("id", "tb.table", "tb.bucket")
+
+
+def lsh_near_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
+                       dim: int = 64, tables: int = 16, planes: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH candidate
+    generation + exact-cosine verification — the scale path that replaces
+    the all-pairs non-equi join (which survives only as the small-scale
+    DuckDB oracle). Candidates are pairs sharing any table's bucket: one
+    shuffle on (table, bucket), never all-pairs. At fixture scale the
+    16×4 config has measured recall 1.0 vs the exact verifier (asserted by
+    tests); at 10^12 rows raise ``planes`` so buckets stay bounded —
+    candidate cost is Σ_buckets |bucket|², the knob is planes-per-table."""
+    b = lsh_table_buckets(vectors, dim, tables, planes, id_col, vec_col)
+    left = b.select("table", "bucket", F.col("id").alias("id_a"))
+    right = b.select("table", "bucket", F.col("id").alias("id_b"))
+    cands = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cands
+        .join(v.withColumnsRenamed({"_vid": "id_a", "_v": "_va"}), "id_a")
+        .join(v.withColumnsRenamed({"_vid": "id_b", "_v": "_vb"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )

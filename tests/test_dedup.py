@@ -109,3 +109,12 @@ def test_simhash_distance(docs):
     ham_far = bin(got[0] ^ got[4]).count("1")
     assert ham_near < ham_far
     assert 5 not in got  # no tokens → no fingerprint row
+
+
+def test_banded_signatures_rejects_indivisible_bands(spark):
+    import pytest as _pytest
+
+    from langid_mr_spark import dedup as _dd
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divisible"):
+        _dd.banded_signatures(df, num_perm=32, bands=5)

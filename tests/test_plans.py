@@ -92,3 +92,19 @@ def test_scan_reads_only_needed_columns_in_pipeline(spark, tmp_path):
     # 'family' is never selected by the pipeline → pruned at the scan
     m = re.findall(r"ReadSchema: [^\n]+", plan)
     assert m and all("family" not in line for line in m), plan
+
+
+def test_embedding_near_dups_is_bucket_join_not_nested_loop(spark):
+    """Round-1 finding: the contract's embedding near-dup was an all-pairs
+    BroadcastNestedLoopJoin. The scale path must candidate-generate via the
+    banded sign-LSH bucket join (hash join on (table, bucket)); the
+    all-pairs formula survives only inside the DuckDB oracle."""
+    import importlib.util
+    from pathlib import Path as _P
+    spec = importlib.util.spec_from_file_location(
+        "entrymod_plans", _P(__file__).resolve().parents[1] / "__spark_entry__.py")
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    plan = plan_of(em.q_embedding_near_dups(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -50,6 +50,43 @@ def test_cosine_topk_exact(frames):
         assert all(-1.0 <= s <= 1.0 for _, _, s in by_q[qid])
 
 
+def test_lsh_table_buckets_not_degenerate(frames):
+    """dim must match the embedding length; a mismatch NULL-pads zip_with
+    and collapses every bucket to 0 (silent brute force). With the right
+    dim the clustered fixture must spread across buckets."""
+    v, _ = frames
+    b = similarity.lsh_table_buckets(v, dim=DIM, tables=4, planes=4)
+    per_table = {r["table"]: r["n"] for r in
+                 b.groupBy("table").agg(
+                     similarity.F.countDistinct("bucket").alias("n")
+                 ).collect()}
+    assert all(n > 1 for n in per_table.values()), per_table
+
+
+def test_lsh_near_dup_pairs_equals_exact(frames):
+    """Scale path (banded sign-LSH candidates + exact verification) must
+    reproduce the all-pairs truth on the fixture: verification is exact, so
+    equality == full candidate recall."""
+    v, _ = frames
+    got = {(r["id_a"], r["id_b"], r["sim"]) for r in
+           similarity.lsh_near_dup_pairs(
+               v, threshold=0.9, dim=DIM, tables=16, planes=4).collect()}
+    want = set()
+    for i, (ia, va) in enumerate(VECS):
+        for ib, vb in VECS[i + 1:]:
+            a = np.array(va, dtype=np.float64)
+            b = np.array(vb, dtype=np.float64)
+            d = np.sqrt((a * a).sum()) * np.sqrt((b * b).sum())
+            s = round(float(a.dot(b) / d), 6) if d else 0.0
+            if s >= 0.9:
+                want.add((ia, ib, s))
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
+    # sims must be the exact cosines (same rounding)
+    gm = {(a, b): s for a, b, s in got}
+    for a, b, s in want:
+        assert abs(gm[(a, b)] - s) < 1e-9
+
+
 def test_lsh_recall(frames):
     v, q = frames
     exact = similarity.cosine_topk(v, q, k=5).collect()
