@@ -85,6 +85,7 @@ DECISION_MID_FR = "accepted_mid_zone_fr"
 DECISION_VAD_RETRY = "vad_retry"
 DECISION_FALLBACK = "fallback"
 DECISION_STRICT_REJECT = "strict_reject"  # C7 error row (lang_gate.py:527-531)
+DECISION_ERROR = "error"  # poison row: scorer threw (D5, runner.py:192-199)
 
 KEEP_DECISIONS = frozenset({
     DECISION_HIGH_CONF, DECISION_MID_EN, DECISION_MID_FR,

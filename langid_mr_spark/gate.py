@@ -70,7 +70,7 @@ def with_pass1(df: DataFrame, text_col: str = "text",
         out = df.withColumn(probe_col, X.probe(F.col(text_col)))
     # Materialize tokens once — token_count and both stopword ratios read
     # the same array column instead of re-running split+filter three times.
-    return (
+    out = (
         out.withColumn("_tokens", X.tokenize(F.col(probe_col)))
         .withColumn("_tc1", X.token_count(F.col("_tokens")))
         .withColumn("_en1", X.stopword_ratio(F.col("_tokens"), "en"))
@@ -79,8 +79,26 @@ def with_pass1(df: DataFrame, text_col: str = "text",
         .withColumn("_s1", scorer(F.col(probe_col)))
         .withColumn("_lang1", F.col("_s1.lang"))
         .withColumn("_p1", X.safe_probability(F.col("_s1.prob")))
+        .withColumn("_err1", _scorer_error(out, "_s1", scorer, probe_col))
         .drop("_s1", "_tokens")
     )
+    return out
+
+
+def _scorer_error(df: DataFrame, struct_col: str, scorer: Scorer,
+                  probe_col: str) -> Column:
+    """Poison-row capture (D5, runner.py:192-199): the production scoring
+    UDFs carry a per-row ``error`` field; injected test scorers may not —
+    absence means 'cannot fail'."""
+    fields = scorer(F.col(probe_col))
+    try:
+        names = df.select(fields.alias("_probe_struct")).schema[
+            "_probe_struct"].dataType.fieldNames()
+    except Exception:
+        names = []
+    if "error" in names:
+        return F.col(f"{struct_col}.error")
+    return F.lit(None).cast("string")
 
 
 def _decision1() -> Column:
@@ -117,15 +135,27 @@ def _decision1() -> Column:
 
 
 def _emit_pass1(df: DataFrame) -> DataFrame:
-    """Project decided₁ rows to the unified gate columns."""
+    """Project decided₁ + poison rows to the unified gate columns.
+
+    Error rows (scorer threw; D5, runner.py:192-199) are emitted HERE as
+    conditional columns rather than as a separate filter+union branch: a
+    third branch would add a full extra read of the persisted stage, and in
+    the un-persisted oracle path a full re-evaluation. Error precedence
+    mirrors the reference, where transcribe() throws before any decision
+    logic runs."""
     d = F.col("_d1")
-    music = d == C.DECISION_MUSIC_ONLY
+    err = F.col("_err1").isNotNull()
+    music = (d == C.DECISION_MUSIC_ONLY) & ~err
     return df.select(
         *[c for c in df.columns if not c.startswith("_")],
-        d.alias("gate_decision"),
-        F.when(music, F.lit("none")).otherwise(F.col("_lang1")).alias("language"),
-        F.col("_p1").cast("double").alias("probability"),
-        F.lit(C.METHOD_AUTODETECT).alias("detection_method"),
+        F.when(err, F.lit(C.DECISION_ERROR)).otherwise(d)
+         .alias("gate_decision"),
+        F.when(music | err, F.lit("none")).otherwise(F.col("_lang1"))
+         .alias("language"),
+        F.when(err, F.lit(None)).otherwise(F.col("_p1"))
+         .cast("double").alias("probability"),
+        F.when(err, F.lit(None).cast("string"))
+         .otherwise(F.lit(C.METHOD_AUTODETECT)).alias("detection_method"),
         F.lit(False).alias("use_vad"),
         F.when(music, F.lit(0.0)).otherwise(F.col("_en1")).alias("en_ratio"),
         F.when(music, F.lit(0.0)).otherwise(F.col("_fr1")).alias("fr_ratio"),
@@ -135,16 +165,22 @@ def _emit_pass1(df: DataFrame) -> DataFrame:
 
 
 def _emit_pass2(df: DataFrame) -> DataFrame:
-    """C5/C6 (lang_gate.py:472-511). C5 reports the VAD transcript's token
-    count; C6 reports FIRST-pass ratios/token_count (lang_gate.py:486,507-509)."""
-    music = F.col("_music2")
+    """C5/C6 (lang_gate.py:472-511) + pass-2 poison rows. C5 reports the
+    VAD transcript's token count; C6 reports FIRST-pass ratios/token_count
+    (lang_gate.py:486,507-509)."""
+    err = F.col("_err2").isNotNull()
+    music = F.col("_music2") & ~err
     return df.select(
         *[c for c in df.columns if not c.startswith("_")],
-        F.when(music, F.lit(C.DECISION_MUSIC_ONLY))
+        F.when(err, F.lit(C.DECISION_ERROR))
+         .when(music, F.lit(C.DECISION_MUSIC_ONLY))
          .otherwise(F.lit(C.DECISION_VAD_RETRY)).alias("gate_decision"),
-        F.when(music, F.lit("none")).otherwise(F.col("_lang2")).alias("language"),
-        F.col("_p2").cast("double").alias("probability"),
-        F.lit(C.METHOD_AUTODETECT_VAD).alias("detection_method"),
+        F.when(music | err, F.lit("none")).otherwise(F.col("_lang2"))
+         .alias("language"),
+        F.when(err, F.lit(None)).otherwise(F.col("_p2"))
+         .cast("double").alias("probability"),
+        F.when(err, F.lit(None).cast("string"))
+         .otherwise(F.lit(C.METHOD_AUTODETECT_VAD)).alias("detection_method"),
         F.lit(True).alias("use_vad"),
         F.when(music, F.lit(0.0)).otherwise(F.col("_en1")).alias("en_ratio"),
         F.when(music, F.lit(0.0)).otherwise(F.col("_fr1")).alias("fr_ratio"),
@@ -155,7 +191,10 @@ def _emit_pass2(df: DataFrame) -> DataFrame:
 
 def _emit_pass3(df: DataFrame, strict: bool) -> DataFrame:
     """C7 strict reject (error row, lang_gate.py:527-531) or C8 fallback
-    (argmax of EN/FR scoring, probability NULL, lang_gate.py:533-546)."""
+    (argmax of EN/FR scoring, probability NULL, lang_gate.py:533-546) +
+    pass-3 poison rows — ONE projection over the whole residue, so the ppl
+    UDF evaluates exactly once (a separate error branch would run it a
+    second time on every residual row)."""
     base = [c for c in df.columns if not c.startswith("_")]
     if strict:
         return df.select(
@@ -170,12 +209,17 @@ def _emit_pass3(df: DataFrame, strict: bool) -> DataFrame:
             F.col("_tc1").alias("token_count"),
             F.lit(False).alias("music_only"),
         )
+    err = F.col("_err3").isNotNull()
     return df.select(
         *base,
-        F.lit(C.DECISION_FALLBACK).alias("gate_decision"),
-        X.argmax_en_fr(F.col("_ppl.ppl_en"), F.col("_ppl.ppl_fr")).alias("language"),
+        F.when(err, F.lit(C.DECISION_ERROR))
+         .otherwise(F.lit(C.DECISION_FALLBACK)).alias("gate_decision"),
+        F.when(err, F.lit("none"))
+         .otherwise(X.argmax_en_fr(F.col("_ppl.ppl_en"), F.col("_ppl.ppl_fr")))
+         .alias("language"),
         F.lit(None).cast("double").alias("probability"),
-        F.lit(C.METHOD_FALLBACK).alias("detection_method"),
+        F.when(err, F.lit(None).cast("string"))
+         .otherwise(F.lit(C.METHOD_FALLBACK)).alias("detection_method"),
         F.lit(True).alias("use_vad"),
         F.col("_en1").alias("en_ratio"),
         F.col("_fr1").alias("fr_ratio"),
@@ -212,9 +256,13 @@ def apply_gate(
                .withColumn("_d1", _decision1()))
     if persist_level is not None:
         scored1 = scored1.persist(persist_level)
-    decided1 = _emit_pass1(scored1.filter(F.col("_d1").isNotNull()))
+    # poison rows are decided rows (decision='error'): exactly TWO consumers
+    # of the persisted stage, same as the error-free round-1 design
+    decided1 = _emit_pass1(scored1.filter(
+        F.col("_err1").isNotNull() | F.col("_d1").isNotNull()))
 
-    undecided1 = scored1.filter(F.col("_d1").isNull())
+    undecided1 = scored1.filter(
+        F.col("_err1").isNull() & F.col("_d1").isNull())
     cleaned = X.vad_clean(F.col(probe_col))
     tokens2 = X.tokenize(F.col("_cleaned"))
     scored2 = (
@@ -224,6 +272,8 @@ def apply_gate(
         .withColumn("_s2", scorer2(F.col("_cleaned")))
         .withColumn("_lang2", F.col("_s2.lang"))
         .withColumn("_p2", X.safe_probability(F.col("_s2.prob")))
+        .withColumn("_err2", _scorer_error(undecided1, "_s2", scorer2,
+                                           probe_col))
         .withColumn(
             "_d2",
             F.col("_music2")
@@ -232,17 +282,20 @@ def apply_gate(
     )
     if persist_level is not None:
         scored2 = scored2.persist(persist_level)
-    decided2 = _emit_pass2(scored2.filter(F.col("_d2")))
+    decided2 = _emit_pass2(scored2.filter(
+        F.col("_err2").isNotNull() | F.col("_d2")))
 
-    undecided2 = scored2.filter(~F.col("_d2"))
+    undecided2 = scored2.filter(F.col("_err2").isNull() & ~F.col("_d2"))
     if strict_reject:
         decided3 = _emit_pass3(undecided2, strict=True)
     else:
         # Fallback scores the PROBE, not the cleaned text (lang_gate.py:535)
-        decided3 = _emit_pass3(
-            undecided2.withColumn("_ppl", ppl_scorer(F.col(probe_col))),
-            strict=False,
+        scored3 = (
+            undecided2.withColumn("_ppl", ppl_scorer(F.col(probe_col)))
+            .withColumn("_err3", _scorer_error(undecided2, "_ppl",
+                                               ppl_scorer, probe_col))
         )
+        decided3 = _emit_pass3(scored3, strict=False)
 
     out = decided1.unionByName(decided2).unionByName(decided3)
     return with_derived(out)
@@ -261,7 +314,8 @@ def with_derived(out: DataFrame) -> DataFrame:
         .withColumn(
             "drop_reason",
             F.when(decision == C.DECISION_MUSIC_ONLY, C.DROP_MUSIC_ONLY)
-            .when(decision == C.DECISION_STRICT_REJECT, C.DROP_NON_ENFR_STRICT),
+            .when(decision == C.DECISION_STRICT_REJECT, C.DROP_NON_ENFR_STRICT)
+            .when(decision == C.DECISION_ERROR, C.DROP_ERROR),
         )
         .withColumn("gate_path", classify_gate_path())
         .withColumn("pipeline_mode", classify_pipeline_mode())

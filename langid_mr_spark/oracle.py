@@ -33,14 +33,23 @@ def gate_one(
     lang_scorer2 = lang_scorer2 or lang_scorer
 
     probe = TN.probe(text)
-    lang1, p1_raw = lang_scorer(probe)
-    p1 = TN.safe_probability(p1_raw)
-
     tokens = TN.tokenize_text(probe)
     tc1 = len(tokens)
     music1 = TN.is_music_only(probe)
     en1 = TN.compute_stopword_ratio(probe, C.EN_STOPWORDS)
     fr1 = TN.compute_stopword_ratio(probe, C.FR_STOPWORDS)
+
+    # Poison capture (D5, runner.py:192-199): a throwing scorer yields an
+    # error ROW, matching gate._emit_error on the Spark side.
+    def _error(use_vad: bool) -> dict[str, Any]:
+        return _result(C.DECISION_ERROR, "none", None, None, use_vad,
+                       en1, fr1, tc1, False)
+
+    try:
+        lang1, p1_raw = lang_scorer(probe)
+    except Exception:
+        return _error(False)
+    p1 = TN.safe_probability(p1_raw)
 
     # C1 — music/boilerplate-only short-circuit (lang_gate.py:340-352)
     if music1:
@@ -70,7 +79,10 @@ def gate_one(
 
     # Pass 2 — VAD analog: rescore the cleaned probe (lang_gate.py:455-470)
     cleaned = TN.vad_clean(probe)
-    lang2, p2_raw = lang_scorer2(cleaned)
+    try:
+        lang2, p2_raw = lang_scorer2(cleaned)
+    except Exception:
+        return _error(True)
     p2 = TN.safe_probability(p2_raw)
 
     # C5 — VAD-pass music-only (lang_gate.py:472-488)
@@ -91,7 +103,10 @@ def gate_one(
 
     # C8 — fallback EN/FR scoring of the PROBE (lang_gate.py:533-546);
     # tie → "en" (Python max() first-key behavior, lang_gate.py:253).
-    ppl_en, ppl_fr = ppl_scorer(probe)
+    try:
+        ppl_en, ppl_fr = ppl_scorer(probe)
+    except Exception:
+        return _error(True)
     chosen = "en" if ppl_en >= ppl_fr else "fr"
     return _result(C.DECISION_FALLBACK, chosen, None,
                    C.METHOD_FALLBACK, True, en1, fr1, tc1, False)
@@ -106,6 +121,8 @@ def _result(decision, language, probability, method, use_vad,
         drop_reason = C.DROP_MUSIC_ONLY
     elif decision == C.DECISION_STRICT_REJECT:
         drop_reason = C.DROP_NON_ENFR_STRICT
+    elif decision == C.DECISION_ERROR:
+        drop_reason = C.DROP_ERROR
     else:
         drop_reason = None
     out = {

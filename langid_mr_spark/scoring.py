@@ -150,6 +150,17 @@ def get_tables() -> np.ndarray:
     return _TABLES
 
 
+# Internal chunking budget (chars). A full 2048-doc × 4000-char Arrow batch
+# allocates ~400 MB of fresh numpy intermediates; on this sandbox fresh
+# pages fault at ~10 MB/s under co-tenant load, so a worker's FIRST batch
+# could cost tens of seconds. Chunking bounds each allocation to a few MB —
+# after the first chunk the allocator serves repeats from its arena (no new
+# page faults). Chunk boundaries are whole documents and every per-document
+# sum is an exact reduceat segment, so results are bit-identical to the
+# unchunked computation (the oracle-parity invariant).
+_CHUNK_CHARS = 500_000
+
+
 def score_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch langid: returns (lang_idx int64[n], prob float64[n],
     avg_logprob float64[n_langs, n]).
@@ -158,6 +169,26 @@ def score_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     EMPTY_LOGPROB_SENTINEL, posterior is uniform, argmax ties → LANGS[0]
     ("en", preserving Python max() first-key tie behavior, lang_gate.py:253).
     """
+    n = len(texts)
+    total_chars = sum(len(t) if t else 0 for t in texts)
+    if n > 1 and total_chars > _CHUNK_CHARS:
+        li_parts, pr_parts, avg_parts = [], [], []
+        start, chars = 0, 0
+        for i, t in enumerate(texts):
+            chars += len(t) if t else 0
+            if chars >= _CHUNK_CHARS and i + 1 > start:
+                li, pr, av = _score_chunk(texts[start:i + 1])
+                li_parts.append(li); pr_parts.append(pr); avg_parts.append(av)
+                start, chars = i + 1, 0
+        if start < n:
+            li, pr, av = _score_chunk(texts[start:])
+            li_parts.append(li); pr_parts.append(pr); avg_parts.append(av)
+        return (np.concatenate(li_parts), np.concatenate(pr_parts),
+                np.concatenate(avg_parts, axis=1))
+    return _score_chunk(texts)
+
+
+def _score_chunk(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tables = get_tables()
     n = len(texts)
     lowered = [(t or "").lower() for t in texts]
@@ -214,39 +245,98 @@ def ppl_one(text: str) -> tuple[float, float]:
 
 
 # --- Spark UDFs ----------------------------------------------------------------
+#
+# Poison-row capture (D5, runner.py:192-199): the reference retries a failing
+# job MAX_RETRIES times and then marks it failed; at 100 TB of real web bytes
+# one undecodable document must become an error ROW, not a task that dies 4×
+# and kills the job. Each UDF scores the whole Arrow batch on the vectorized
+# fast path (zero overhead when clean); if the batch throws, it re-scores
+# row-at-a-time and captures per-row exceptions into the ``error`` field.
+# gate.apply_gate routes rows with error IS NOT NULL to drop_reason='error'.
 
 _LANGID_TYPE = T.StructType([
     T.StructField("lang", T.StringType()),
     T.StructField("prob", T.DoubleType()),
+    T.StructField("error", T.StringType()),
 ])
 _PPL_TYPE = T.StructType([
     T.StructField("ppl_en", T.DoubleType()),
     T.StructField("ppl_fr", T.DoubleType()),
+    T.StructField("error", T.StringType()),
 ])
 
 
-@F.pandas_udf(_LANGID_TYPE)
-def langid_scores_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    """M2/M4 analog: first-pass autodetect over the probe text.
+def _capture(batch_fn, texts: list[str], names: tuple[str, ...]) -> pd.DataFrame:
+    """Run ``batch_fn(texts) -> tuple of arrays``; on failure isolate poison
+    rows with batch-of-one retries. Always returns columns names + error."""
+    n = len(texts)
+    try:
+        cols = batch_fn(texts)
+        out = {k: v for k, v in zip(names, cols)}
+        out["error"] = [None] * n
+        return pd.DataFrame(out)
+    except Exception:
+        rows: dict[str, list] = {k: [] for k in names}
+        errs: list[str | None] = []
+        for t in texts:
+            try:
+                cols = batch_fn([t])
+                for k, v in zip(names, cols):
+                    rows[k].append(v[0])
+                errs.append(None)
+            except Exception as e:  # the poison row, captured not fatal
+                for k in names:
+                    rows[k].append(None)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        rows["error"] = errs
+        return pd.DataFrame(rows)
 
-    Iterator form so the model table is resolved once per Python worker
-    (M1's singleton pattern, detector.py:20-47)."""
-    get_tables()
-    langs = np.array(LANGS)
-    for series in it:
-        texts = series.fillna("").tolist()
-        lang_idx, prob, _ = score_batch(texts)
-        yield pd.DataFrame({"lang": langs[lang_idx], "prob": prob})
+
+def make_langid_udf(batch_fn=None):
+    """Build a langid scorer UDF from ``batch_fn: list[str] -> (langs,
+    probs)``. Tests inject throwing functions to assert the poison-row
+    contract; production uses score_batch."""
+    if batch_fn is None:
+        def batch_fn(texts):
+            lang_idx, prob, _ = score_batch(texts)
+            return np.array(LANGS)[lang_idx], prob
+
+    @F.pandas_udf(_LANGID_TYPE)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        """M2/M4 analog: first-pass autodetect over the probe text.
+
+        Iterator form so the model table is resolved once per Python worker
+        (M1's singleton pattern, detector.py:20-47)."""
+        get_tables()
+        for series in it:
+            yield _capture(batch_fn, series.fillna("").tolist(),
+                           ("lang", "prob"))
+
+    return udf
 
 
-@F.pandas_udf(_PPL_TYPE)
-def ppl_scores_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    """M5 analog: constrained EN-vs-FR scoring for the fallback branch.
-    Returns per-language avg char-trigram log-prob (−99.0 sentinel on
-    empty, lang_gate.py:244-245)."""
-    get_tables()
-    i_en, i_fr = LANGS.index("en"), LANGS.index("fr")
-    for series in it:
-        texts = series.fillna("").tolist()
-        _, _, avg = score_batch(texts)
-        yield pd.DataFrame({"ppl_en": avg[i_en], "ppl_fr": avg[i_fr]})
+def make_ppl_udf(batch_fn=None):
+    """Build the fallback EN/FR scorer UDF from ``batch_fn: list[str] ->
+    (ppl_en, ppl_fr)`` with the same poison-row capture."""
+    if batch_fn is None:
+        i_en, i_fr = LANGS.index("en"), LANGS.index("fr")
+
+        def batch_fn(texts):
+            _, _, avg = score_batch(texts)
+            return avg[i_en], avg[i_fr]
+
+    @F.pandas_udf(_PPL_TYPE)
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        """M5 analog: constrained EN-vs-FR scoring for the fallback branch.
+        Returns per-language avg char-trigram log-prob (−99.0 sentinel on
+        empty, lang_gate.py:244-245)."""
+        get_tables()
+        for series in it:
+            yield _capture(batch_fn, series.fillna("").tolist(),
+                           ("ppl_en", "ppl_fr"))
+
+    return udf
+
+
+langid_scores_udf = make_langid_udf()
+ppl_scores_udf = make_ppl_udf()

@@ -37,10 +37,17 @@ def compute_stopword_ratio(text: str | None, stopwords: frozenset[str]) -> float
 
 
 def strip_outer_brackets(text: str) -> str:
-    """lang_gate.py:111-119 — peel matching outer bracket layers + strip."""
+    """lang_gate.py:111-119 — peel matching outer bracket layers + strip.
+
+    Documented deviation: the reference loops to fixpoint; this twin is
+    bounded at BRACKET_STRIP_MAX_LAYERS, the SAME bound as the unrolled
+    Spark expression (exprs.strip_outer_brackets), so the two twins agree
+    at every nesting depth — including pathological ≥9-layer inputs, where
+    both leave the residual layers in place."""
     stripped = text
-    while len(stripped) >= 2 and stripped[0] in C.BRACKET_PAIRS:
-        if stripped[-1] != C.BRACKET_PAIRS[stripped[0]]:
+    for _ in range(C.BRACKET_STRIP_MAX_LAYERS):
+        if not (len(stripped) >= 2 and stripped[0] in C.BRACKET_PAIRS
+                and stripped[-1] == C.BRACKET_PAIRS[stripped[0]]):
             break
         stripped = stripped[1:-1].strip()
     return stripped

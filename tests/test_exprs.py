@@ -146,3 +146,21 @@ def test_probe_unicode_boundary(spark):
     got = df.select(X.probe(F.col("t")).alias("out")).collect()[0]["out"]
     assert got == TN.probe(long)
     assert len(got) == C.PROBE_CHARS
+
+
+def test_strip_outer_brackets_depth_parity_beyond_unroll(spark):
+    """Spark unroll and the Python twin agree ABOVE the shared depth bound
+    (round-1 gap: the twin used to peel unboundedly and diverged at ≥9)."""
+    from langid_mr_spark import constants as C
+
+    d = C.BRACKET_STRIP_MAX_LAYERS
+    cases = [
+        "[" * k + core + "]" * k
+        for k in (d - 1, d, d + 1, d + 3)
+        for core in ("music", " music ", "[oops")
+    ]
+    frame = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = [r[0] for r in
+           frame.select(X.strip_outer_brackets(F.col("t"))).collect()]
+    want = [TN.strip_outer_brackets(t) for t in cases]
+    assert got == want

@@ -105,3 +105,19 @@ def test_vad_clean():
     assert TN.vad_clean("♪ hello ♪") == "music hello music"
     assert TN.vad_clean(None) == ""
     assert TN.vad_clean("  a   b  ") == "a b"
+
+
+def test_strip_outer_brackets_depth_bound_shared():
+    """Both twins bound peeling at BRACKET_STRIP_MAX_LAYERS: at depth 8 the
+    core is fully exposed; at depth 9+ one residual layer remains in BOTH
+    implementations (the documented deviation from the reference's
+    unbounded loop, lang_gate.py:111-119)."""
+    from langid_mr_spark import constants as C
+
+    d = C.BRACKET_STRIP_MAX_LAYERS
+    exact = "[" * d + "music" + "]" * d
+    assert TN.strip_outer_brackets(exact) == "music"
+    over = "[" * (d + 1) + "music" + "]" * (d + 1)
+    assert TN.strip_outer_brackets(over) == "[music]"
+    way_over = "(" * (d + 4) + " x " + ")" * (d + 4)
+    assert TN.strip_outer_brackets(way_over) == "(" * 4 + " x " + ")" * 4
