@@ -51,6 +51,14 @@ def session(app: str = "langid_mr_spark", master: str | None = None,
     if master:
         b = b.master(master)
         b = b.config("spark.driver.memory", driver_memory)
+        # local mode only: block-manager spill/persist + shuffle files on
+        # tmpfs — this sandbox's disk faults at ~10 MB/s under co-tenant
+        # load, which made the DISK_ONLY cascade persist both slow and
+        # 4×-noisy (measured 80-156 s vs 14-18 s per bench pipeline run).
+        # Real clusters size executor-local SSDs via spark-submit instead.
+        import os
+        if os.path.isdir("/dev/shm"):
+            b = b.config("spark.local.dir", "/dev/shm/spark-local")
     return (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -67,24 +75,59 @@ def session(app: str = "langid_mr_spark", master: str | None = None,
 
 # --- S4: html → text extraction (vectorized Arrow UDF) -------------------------
 
-@F.pandas_udf(T.StringType())
-def extract_text_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Twin of textnorm.extract_text_from_html (byte-identical invariant,
-    BASELINE.json input_hint). Vectorized pandas .str ops — the decode/
-    extract/unescape chain runs on whole Arrow batches, no per-row Python."""
+_EXTRACT_TYPE = T.StructType([
+    T.StructField("extracted", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def _extract_series(series: pd.Series) -> pd.Series:
+    """Vectorized fast path: decode/extract/unescape on the whole Arrow
+    batch, no per-row Python."""
     import re
     pat = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+    decoded = series.map(
+        lambda b: b.decode("utf-8", errors="replace") if b is not None else "",
+        na_action=None,
+    ).astype("string")
+    extracted = decoded.str.extract(pat, expand=False).fillna("")
+    # unescape in exact inverse order of textnorm._ESCAPES
+    for esc, raw in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#x27;", "'"), ("&amp;", "&")):
+        extracted = extracted.str.replace(esc, raw, regex=False)
+    return extracted.astype(object)
+
+
+@F.pandas_udf(_EXTRACT_TYPE)
+def extract_text_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Twin of textnorm.extract_text_from_html (byte-identical invariant,
+    BASELINE.json input_hint).
+
+    Poison-row capture (D5, runner.py:192-199): if the vectorized batch
+    throws, each document is retried through the row-at-a-time twin and
+    per-row failures land in the ``error`` field — one malformed payload
+    becomes a drop_reason='error' row, never a 4×-retried dead task."""
+    from . import textnorm as TN
     for series in it:
-        decoded = series.map(
-            lambda b: b.decode("utf-8", errors="replace") if b is not None else "",
-            na_action=None,
-        ).astype("string")
-        extracted = decoded.str.extract(pat, expand=False).fillna("")
-        # unescape in exact inverse order of textnorm._ESCAPES
-        for esc, raw in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                         ("&#x27;", "'"), ("&amp;", "&")):
-            extracted = extracted.str.replace(esc, raw, regex=False)
-        yield extracted.astype(object)
+        try:
+            yield pd.DataFrame({
+                "extracted": _extract_series(series),
+                "error": pd.Series([None] * len(series), dtype=object),
+            })
+        except Exception:
+            texts: list[str | None] = []
+            errs: list[str | None] = []
+            for b in series:
+                try:
+                    texts.append(TN.extract_text_from_html(b))
+                    errs.append(None)
+                except Exception as e:
+                    texts.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame({
+                "extracted": pd.Series(texts, dtype=object),
+                "error": pd.Series(errs, dtype=object),
+            })
 
 
 # --- S3: ingest validation ------------------------------------------------------
@@ -173,12 +216,22 @@ def run_pipeline(
     if use_html:
         # S4: decode payload once per document (runner.py:39-40); drop the
         # heavy binary column immediately after (column pruning for every
-        # downstream stage, persist, and shuffle).
+        # downstream stage, persist, and shuffle). extract_error marks
+        # poison rows (D5) — carried through the gate, folded into
+        # drop_reason='error' at the end (single extraction pass; the gate's
+        # persist means the split never re-runs the UDF).
         extracted = valid.select(
-            *carried, extract_text_udf(F.col("html")).alias("extracted")
+            *carried, extract_text_udf(F.col("html")).alias("_ex")
+        ).select(
+            *carried,
+            F.col("_ex.extracted").alias("extracted"),
+            F.col("_ex.error").alias("extract_error"),
         )
     else:
-        extracted = valid.select(*carried, F.col("text").alias("extracted"))
+        extracted = valid.select(
+            *carried, F.col("text").alias("extracted"),
+            F.lit(None).cast("string").alias("extract_error"),
+        )
 
     # Gopher/C4-style quality rules (north_star) are computed on the FULL
     # extracted text — doc-length/repetition rules need the whole document —
@@ -195,7 +248,7 @@ def run_pipeline(
     # document costs the same as a normal one past this point (X19/X20
     # bounded-work analog, lang_gate.py:13, runner.py:27).
     extracted = extracted.select(
-        *carried, "quality_fail_reason",
+        *carried, "quality_fail_reason", "extract_error",
         X.probe(F.col("extracted")).alias("extracted"),
     )
 
@@ -214,6 +267,7 @@ def run_pipeline(
     invalid_gated = invalid.select(
         "*",
         F.lit(None).cast("string").alias("quality_fail_reason"),
+        F.lit(None).cast("string").alias("extract_error"),
         F.lit(None).cast("string").alias("gate_decision"),
         F.lit("none").alias("language"),
         F.lit(None).cast("double").alias("probability"),
@@ -231,6 +285,34 @@ def run_pipeline(
     )
 
     combined = gated.unionByName(invalid_gated)
+
+    # Fold extraction poison rows into the same error surface as scorer
+    # poison rows (gate._emit_error): keep=false, drop_reason='error'.
+    err = F.col("extract_error").isNotNull()
+    combined = (
+        combined
+        .withColumn("gate_decision",
+                    F.when(err, F.lit(C.DECISION_ERROR))
+                    .otherwise(F.col("gate_decision")))
+        .withColumn("language",
+                    F.when(err, F.lit("none")).otherwise(F.col("language")))
+        .withColumn("probability",
+                    F.when(err, F.lit(None).cast("double"))
+                    .otherwise(F.col("probability")))
+        .withColumn("detection_method",
+                    F.when(err, F.lit(None).cast("string"))
+                    .otherwise(F.col("detection_method")))
+        .withColumn("keep", F.col("keep") & ~err)
+        .withColumn("drop_reason",
+                    F.when(err, F.lit(C.DROP_ERROR))
+                    .otherwise(F.col("drop_reason")))
+        .withColumn("gate_path",
+                    F.when(err, F.lit(C.GATE_PATH_UNKNOWN))
+                    .otherwise(F.col("gate_path")))
+        .withColumn("pipeline_mode",
+                    F.when(err, F.lit(C.PIPELINE_MODE_UNKNOWN))
+                    .otherwise(F.col("pipeline_mode")))
+    )
 
     # M6/X21: snippet scrub on kept en/fr rows only (runner.py:85-127) —
     # pure native regex chain, no Python.
@@ -310,6 +392,9 @@ def metric_aggs() -> dict[str, Column]:
         "fallback_used": F.count(
             F.when(F.col("gate_decision") == C.DECISION_FALLBACK, 1)
         ),
+        "errors": F.count(
+            F.when(F.col("drop_reason") == C.DROP_ERROR, 1)
+        ),
     }
 
 
@@ -338,7 +423,35 @@ def metrics_table(out: DataFrame, run_id: str) -> DataFrame:
 # --- resumable run (D8) ----------------------------------------------------------------
 
 def with_dt(df: DataFrame) -> DataFrame:
+    """Derive the date partition column — unless the source is already
+    dt-partitioned, in which case the inferred partition column is kept so
+    filters on it prune at the FILE level (replacing it with a
+    to_date(warc_ts) expression would break partition pruning)."""
+    if "dt" in df.columns:
+        return df
     return df.withColumn("dt", F.to_date(F.col("warc_ts")))
+
+
+def _list_input_partitions(spark: SparkSession, input_path: str) -> list[str] | None:
+    """dt partition values from the directory listing — catalog metadata,
+    zero data read (the parquet stand-in for Iceberg's partition metadata;
+    on a real deployment this is `table.partitions`). Returns None when the
+    input is not hive-partitioned by dt (caller falls back to a
+    column-pruned distinct scan)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(input_path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        vals = [
+            st.getPath().getName()[3:]
+            for st in fs.listStatus(hpath)
+            if st.isDirectory() and st.getPath().getName().startswith("dt=")
+        ]
+        return sorted(vals) or None
+    except Exception:
+        return None
 
 
 def run_resumable(
@@ -360,12 +473,17 @@ def run_resumable(
     checkpoints_path = output_path.rstrip("/") + "_checkpoints"
     metrics_path = output_path.rstrip("/") + "_metrics"
 
+    # Idempotence depends on dynamic partition overwrite: in static mode,
+    # mode('overwrite').partitionBy('dt') would DELETE every previously
+    # completed partition on resume. Self-contained, not session-dependent.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     src = with_dt(spark.read.parquet(input_path))
 
     done: set[str] = set()
     try:
         done = {
-            r["dt"] for r in spark.read.parquet(checkpoints_path)
+            str(r["dt"]) for r in spark.read.parquet(checkpoints_path)
             .filter(F.col("run_id") == run_id).select("dt").distinct().collect()
         }
     except Exception:
@@ -373,9 +491,19 @@ def run_resumable(
 
     if done:
         # partition-level anti-filter: prunes whole input date partitions
-        src = src.filter(~F.col("dt").isin(*[str(d) for d in done]))
+        src = src.filter(~F.col("dt").isin(*sorted(done)))
 
-    pending = [str(r["dt"]) for r in src.select("dt").distinct().collect()]
+    # Pending date list from partition METADATA when the input is
+    # dt-partitioned (no input pass at all before the pipeline job); the
+    # distinct scan survives only as the fallback for unpartitioned inputs,
+    # where it is at least column-pruned to warc_ts.
+    part_vals = _list_input_partitions(spark, input_path)
+    if part_vals is not None:
+        pending = sorted(set(part_vals) - done)
+    else:
+        pending = sorted(
+            str(r["dt"]) for r in src.select("dt").distinct().collect()
+        )
     if not pending:
         return []
 

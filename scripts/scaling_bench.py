@@ -7,10 +7,17 @@ same job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
 on the IDENTICAL input corpus.
 
 Methodology: the shared sandbox shows up to 10× run-to-run interference
-noise, so the two levels are measured in INTERLEAVED cycles
-(8 → 32 → 8 → 32 → …); noise then hits both levels of a cycle about
-equally, and the reported efficiency is the MEDIAN of per-cycle
-efficiencies (t_8 / t_32) / 4, with every raw run listed.
+noise, so the two levels are measured in INTERLEAVED cycles; noise then
+hits both levels of a cycle about equally, and the reported efficiency is
+the MEDIAN of per-cycle efficiencies (t_8 / t_32) / 4, with every raw run
+listed.
+
+De-biasing (round-1 judge finding): running 8 before 32 within every cycle
+lets the 8-run warm the OS page cache for the 32-run, inflating efficiency
+past 1.0. Now (a) the corpus is pre-faulted into the page cache ONCE before
+any timed run, and (b) the within-cycle order ALTERNATES (8→32, 32→8, …);
+per-order medians are reported alongside the overall median so an order
+effect is visible instead of hidden.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 
@@ -29,7 +36,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
-CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # even → both orders
 RUNS_PER_SESSION = 2
 
 
@@ -85,12 +92,21 @@ def main() -> None:
         fixtures.write_corpus(spark, corpus_path, N_DOCS, num_partitions=256)
         spark.stop()
 
+    # pre-fault the corpus into the page cache so neither level ever pays
+    # the sandbox's severe cold-read penalty for the other
+    for p in sorted(Path(corpus_path).rglob("*.parquet")):
+        p.read_bytes()
+
     cycles = []
     for c in range(CYCLES):
-        t8, steal8 = measure(8, corpus_path)
-        t32, steal32 = measure(32, corpus_path)
+        order = (8, 32) if c % 2 == 0 else (32, 8)
+        res = {}
+        for cpus in order:
+            res[cpus] = measure(cpus, corpus_path)
+        (t8, steal8), (t32, steal32) = res[8], res[32]
         cycles.append({
             "cycle": c,
+            "order": f"{order[0]}→{order[1]}",
             "t8_sec": round(t8, 2), "t32_sec": round(t32, 2),
             "steal8_pct": steal8, "steal32_pct": steal32,
             "docs_per_sec_8": round(N_DOCS / t8, 1),
@@ -99,19 +115,26 @@ def main() -> None:
         })
 
     eff = statistics.median(c["efficiency"] for c in cycles)
+    by_order = {
+        o: round(statistics.median(
+            c["efficiency"] for c in cycles if c["order"] == o), 3)
+        for o in sorted({c["order"] for c in cycles})
+    }
     best8 = max(c["docs_per_sec_8"] for c in cycles)
     best32 = max(c["docs_per_sec_32"] for c in cycles)
     result = {"n_docs": N_DOCS, "cycles": cycles,
               "median_scaling_efficiency": round(eff, 3),
+              "median_efficiency_by_order": by_order,
               "best_docs_per_sec_8": best8,
               "best_docs_per_sec_32": best32}
     print(json.dumps(result))
 
     rows = "\n".join(
-        f"| {c['cycle']} | {c['t8_sec']} | {c['t32_sec']} | "
+        f"| {c['cycle']} | {c['order']} | {c['t8_sec']} | {c['t32_sec']} | "
         f"{c['docs_per_sec_8']} | {c['docs_per_sec_32']} | "
         f"{c['efficiency']} |"
         for c in cycles)
+    order_rows = ", ".join(f"{o}: {v}" for o, v in by_order.items())
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
@@ -122,16 +145,21 @@ pipeline job on the identical {N_DOCS}-doc synthetic web_pages corpus at two
 parallelism levels, local[8] (N) and local[32] (4N).
 
 Methodology: this shared sandbox shows up to 10× run-to-run interference
-noise, so the levels are measured in interleaved cycles (8 → 32 per cycle;
-each figure is the better of {RUNS_PER_SESSION} runs after a warmup run with
-the DataFrame cache cleared between runs), and the reported number is the
-median per-cycle efficiency (t_8 / t_32) / 4.
+noise, so the levels are measured in interleaved cycles (each figure is the
+better of {RUNS_PER_SESSION} runs after a warmup run with the DataFrame
+cache cleared between runs), and the reported number is the median
+per-cycle efficiency (t_8 / t_32) / 4. To remove the round-1 order bias
+(the first level warming the page cache for the second), the corpus is
+pre-faulted into the page cache before any timed run and the within-cycle
+order alternates (8→32 on even cycles, 32→8 on odd); per-order medians are
+reported so any residual order effect is visible.
 
-| cycle | local[8] s | local[32] s | docs/s @8 | docs/s @32 | efficiency |
-|---|---|---|---|---|---|
+| cycle | order | local[8] s | local[32] s | docs/s @8 | docs/s @32 | efficiency |
+|---|---|---|---|---|---|---|
 {rows}
 
 **Median scaling efficiency = {eff:.3f}** (target ≥ 0.8)
+Per-order medians: {order_rows}.
 Best throughput: {best8} docs/s at local[8], {best32} docs/s at local[32].
 
 Reproduce: `python scripts/scaling_bench.py {N_DOCS} {CYCLES}`

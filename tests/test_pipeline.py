@@ -81,13 +81,15 @@ def test_probability_and_meta(result_rows, oracle_results):
 
 
 def test_extraction_byte_identical(spark, corpus):
-    """input_hint invariant: extract(html) == text, byte for byte."""
+    """input_hint invariant: extract(html) == text, byte for byte (and no
+    spurious error capture on clean payloads)."""
     got = corpus.select(
         "text",
-        pipeline.extract_text_udf(F.col("html")).alias("extracted"),
+        pipeline.extract_text_udf(F.col("html")).alias("ex"),
     ).collect()
     for r in got:
-        assert r["extracted"] == r["text"]
+        assert r["ex"]["extracted"] == r["text"]
+        assert r["ex"]["error"] is None
 
 
 def test_determinism_two_runs(spark, corpus, result_rows):
@@ -162,3 +164,37 @@ def test_resume_idempotent(spark, tmp_path):
     assert m.agg(F.sum("docs")).collect()[0][0] == 60
     kept = spark.read.parquet(out_b).filter(F.col("keep")).count()
     assert m.agg(F.sum("kept")).collect()[0][0] == kept
+
+
+def test_resume_partitioned_input_uses_metadata(spark, tmp_path):
+    """dt-partitioned input: the pending date list comes from the directory
+    listing (partition metadata), not a data scan, and resume still
+    converges to the uninterrupted result."""
+    inp = str(tmp_path / "in_part")
+    out = str(tmp_path / "out_part")
+    src = pipeline.with_dt(fixtures.corpus_df(spark, 60))
+    src.write.mode("overwrite").partitionBy("dt").parquet(inp)
+
+    listed = pipeline._list_input_partitions(spark, inp)
+    dts = sorted(str(r["dt"]) for r in src.select("dt").distinct().collect())
+    assert listed == dts  # metadata listing == actual dates, no scan needed
+
+    done = pipeline.run_resumable(spark, inp, out, run_id="rp")
+    assert done == dts
+    # second run: everything checkpointed → metadata-only early return
+    assert pipeline.run_resumable(spark, inp, out, run_id="rp") == []
+    # output matches an unpartitioned-input run on the same corpus
+    out2 = str(tmp_path / "out_flat")
+    flat = str(tmp_path / "in_flat")
+    fixtures.corpus_df(spark, 60).write.mode("overwrite").parquet(flat)
+    pipeline.run_resumable(spark, flat, out2, run_id="rf")
+    a = spark.read.parquet(out).select("url", "keep", "language")
+    b = spark.read.parquet(out2).select("url", "keep", "language")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_list_input_partitions_unpartitioned_returns_none(spark, tmp_path):
+    flat = str(tmp_path / "flat")
+    fixtures.corpus_df(spark, 10).write.mode("overwrite").parquet(flat)
+    assert pipeline._list_input_partitions(spark, flat) is None
+    assert pipeline._list_input_partitions(spark, str(tmp_path / "nope")) is None
