@@ -12,10 +12,14 @@ the task brief directs.
 Surface:
 - ``sniff_metadata_col``  — native magic-byte sniffing → struct<format,size>
   (audio_io's probe-order fallback analog, audio_io.py:66-101)
+- ``decode_headers``      — REAL container-metadata decode (PNG IHDR, JPEG
+  SOF, GIF screen, WAV fmt) by pure byte parsing — no codec library needed;
+  the ffprobe-step analog (audio_io.py:53-101) and everything a curation
+  filter reads (dimensions, channels, sample rate, bit depth)
 - ``extract_features``    — mapInPandas: binary → fixed-dim float vector
   (deterministic fake: hashed byte histogram; swap for a real model UDF)
-- ``decode_image``        — the honest stub: raises NotImplementedError with
-  the library it would need, but validates batch shape first
+- ``decode_image``        — pixel decode, the one honest stub left: raises
+  NotImplementedError naming the library it would need
 """
 
 from __future__ import annotations
@@ -95,6 +99,110 @@ def extract_features(df: DataFrame, binary_col: str = "payload",
             pdf = pdf.copy()
             pdf["features"] = pdf[binary_col].map(
                 lambda b: fake_features(b, dim))
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema_out)
+
+
+# --- real container-header decode (pure byte parsing, no codec libs) --------
+
+def decode_header(payload: bytes | None) -> dict:
+    """Parse REAL container metadata from the payload's header bytes —
+    PNG IHDR, JPEG SOF, GIF logical screen, WAV fmt chunk — the analog of
+    the reference's ffprobe step (audio_io.py:53-101) that needs no codec
+    library. Pixel/sample decode stays stubbed (decode_image); everything a
+    curation pipeline filters on (dimensions, channels, sample rate, bit
+    depth) is decoded for real here. Returns a dict matching HEADER_FIELDS;
+    unparseable payloads set error instead of raising (poison-safe)."""
+    import struct as S
+
+    out = {"kind": None, "width": None, "height": None, "channels": None,
+           "sample_rate": None, "bit_depth": None, "error": None}
+    if not payload:
+        out["error"] = "empty payload"
+        return out
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR is mandated to be the first chunk: len(4) 'IHDR' data
+            if payload[12:16] != b"IHDR" or len(payload) < 26:
+                raise ValueError("PNG without leading IHDR")
+            w, h = S.unpack(">II", payload[16:24])
+            depth, color = payload[24], payload[25]
+            out.update(kind="png", width=w, height=h, bit_depth=depth,
+                       channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color))
+        elif payload[:3] == b"\xff\xd8\xff":
+            i, n = 2, len(payload)
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    raise ValueError("JPEG marker desync")
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = S.unpack(">H", payload[i + 2:i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                    depth = payload[i + 4]
+                    h, w = S.unpack(">HH", payload[i + 5:i + 9])
+                    out.update(kind="jpeg", width=w, height=h,
+                               bit_depth=depth, channels=payload[i + 9])
+                    break
+                i += 2 + seglen
+            else:
+                raise ValueError("JPEG without SOF marker")
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = S.unpack("<HH", payload[6:10])
+            out.update(kind="gif", width=w, height=h, bit_depth=8)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            i, n = 12, len(payload)
+            while i + 8 <= n:
+                cid = payload[i:i + 4]
+                clen = S.unpack("<I", payload[i + 4:i + 8])[0]
+                if cid == b"fmt ":
+                    ch, rate = S.unpack("<HI", payload[i + 10:i + 16])
+                    bits = S.unpack("<H", payload[i + 22:i + 24])[0]
+                    out.update(kind="wav", channels=ch, sample_rate=rate,
+                               bit_depth=bits)
+                    break
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            else:
+                raise ValueError("WAV without fmt chunk")
+        else:
+            out["error"] = "unknown container"
+    except Exception as e:
+        out.update(kind=None, width=None, height=None, channels=None,
+                   sample_rate=None, bit_depth=None,
+                   error=f"{type(e).__name__}: {e}"[:200])
+    return out
+
+
+HEADER_FIELDS = ("kind", "width", "height", "channels",
+                 "sample_rate", "bit_depth", "error")
+
+
+def decode_headers(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """mapInPandas: binary → real decoded container metadata columns.
+    Poison payloads land in the ``header_error`` column, never a task
+    failure (same D5 contract as the text pipeline)."""
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("kind", T.StringType()),
+           T.StructField("width", T.IntegerType()),
+           T.StructField("height", T.IntegerType()),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField("sample_rate", T.IntegerType()),
+           T.StructField("bit_depth", T.IntegerType()),
+           T.StructField("header_error", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            metas = [decode_header(b) for b in pdf[binary_col]]
+            for field in HEADER_FIELDS:
+                col = "header_error" if field == "error" else field
+                pdf[col] = [m[field] for m in metas]
             yield pdf
 
     return df.mapInPandas(run, schema=schema_out)

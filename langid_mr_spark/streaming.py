@@ -57,6 +57,73 @@ def incremental_run(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Cross-micro-batch EXACT dedup via ``applyInPandasWithState``: a
+    document whose content hash was seen in ANY earlier micro-batch (or
+    earlier in this one) is flagged a duplicate of the first-seen url.
+
+    This is the streaming face of dedup.exact_duplicates — the state store
+    is partitioned by the hash key, so at 10^12 documents each executor
+    holds one shard of the seen-set and a new batch costs one shuffle on
+    the hash (exactly the batch operator's cost) plus state lookups.
+    State per key is a single (url, batch_id) record, restored from the
+    checkpoint across restarts (Trigger.AvailableNow drains then stops,
+    like incremental_run). Within one batch the canonical row is the
+    min(url) for determinism."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+        .withColumn("h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .select("h", "url", "warc_ts")
+    )
+
+    out_type = ("h string, url string, warc_ts timestamp, "
+                "is_duplicate boolean, canonical_url string")
+    state_type = "first_url string, first_batch long"
+
+    def dedup_group(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("url", kind="mergesort")
+        if state.exists:
+            canonical, batch_no = state.get
+            dup_mask = [True] * len(rows)
+        else:
+            canonical = rows["url"].iloc[0]
+            batch_no = 0
+            dup_mask = [u != canonical for u in rows["url"]]
+            state.update((canonical, batch_no))
+        rows["is_duplicate"] = dup_mask
+        rows["canonical_url"] = canonical
+        yield rows
+
+    deduped = stream.groupBy("h").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_throughput(spark: SparkSession, output_dir: str,
                         window: str = "5 minutes") -> DataFrame:
     """A3 analog (main.py:270-280): docs per tumbling event-time window of

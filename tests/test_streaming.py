@@ -42,3 +42,44 @@ def test_incremental_equals_batch(spark, tmp_path):
     # A3 windowed freshness metric runs over the output
     w = streaming.windowed_throughput(spark, out, "1 hour").collect()
     assert sum(r["docs"] for r in w) == 90
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Stateful cross-batch dedup: duplicates within a micro-batch AND
+    against documents seen in earlier invocations are flagged, with the
+    seen-set restored from the checkpoint between runs."""
+    inp = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    batch1 = [
+        ("u1", ts, b"x", "alpha text", "en", "f"),
+        ("u2", ts, b"x", "alpha text", "en", "f"),   # in-batch dup of u1
+        ("u3", ts, b"x", "beta text", "en", "f"),
+    ]
+    spark.createDataFrame(batch1, schema=fixtures.INPUT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    streaming.streaming_exact_dedup(spark, inp, out, ckpt)
+    r1 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(r1) == 3
+    assert r1["u1"]["is_duplicate"] is False
+    assert r1["u2"]["is_duplicate"] is True
+    assert r1["u2"]["canonical_url"] == "u1"
+    assert r1["u3"]["is_duplicate"] is False
+
+    # second batch arrives later: dups against the STORED state, plus a
+    # fresh doc
+    batch2 = [
+        ("u4", ts, b"x", "alpha text", "en", "f"),   # dup of batch-1 u1
+        ("u5", ts, b"x", "gamma text", "en", "f"),   # new
+    ]
+    spark.createDataFrame(batch2, schema=fixtures.INPUT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    streaming.streaming_exact_dedup(spark, inp, out, ckpt)
+    r2 = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(r2) == 5
+    assert r2["u4"]["is_duplicate"] is True
+    assert r2["u4"]["canonical_url"] == "u1"
+    assert r2["u5"]["is_duplicate"] is False
