@@ -363,6 +363,20 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    verified MinHash-LSH near-dup pairs — every document mapped to the min
+    doc id of its duplicate component (singletons map to themselves). The
+    Spark side is iterative min-label propagation (dedup.duplicate_clusters,
+    one shuffle per round); the DuckDB oracle computes the same components
+    via a recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (DD.minhash_near_duplicates(docs, threshold=0.5)
+             .select("id_a", "id_b"))
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return DD.duplicate_clusters(pairs, ids).orderBy("id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints (explode + groupBy sign votes)."""
     docs = _t(spark, sf_dir, "documents")
@@ -383,6 +397,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DIM = 64
 _ANN_PLANES = 6
 _NDUP_TABLES, _NDUP_PLANES = 16, 4
+_IVF_CELLS, _IVF_PROBE = 16, 4
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +411,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qvec")))
     return SIM.lsh_bucket_topk(
         vec, q, k=5, dim=_EMB_DIM, planes=_ANN_PLANES).orderBy("qid", "rank")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5: coarse-quantizer cell assignment + n_probe cell
+    probing + exact cosine within probed cells (similarity.ivf_topk). Fully
+    deterministic (fixed anchors), so the DuckDB oracle replays assignment,
+    probing, and scoring end-to-end."""
+    vec = _t(spark, sf_dir, "embeddings")
+    q = (vec.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    return SIM.ivf_topk(
+        vec, q, k=5, dim=_EMB_DIM,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE).orderBy("qid", "rank")
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,10 +671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_sig": q_minhash_sig,
         "near_dup_pairs": q_near_dup_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
@@ -920,10 +951,9 @@ def _gate_oracle_sql() -> str:
     )
 
 
-def _near_dup_sql(threshold: float = 0.5, num_perm: int = 32,
-                  bands: int = 16) -> str:
-    """DuckDB replica of dedup.minhash_near_duplicates: signature → banded
-    keys → bucket self-join → exact-Jaccard verification."""
+def _near_dup_ctes(num_perm: int = 32, bands: int = 16) -> str:
+    """Shared CTE chain for the banded-LSH near-dup replica: signature →
+    banded keys → bucket self-join → exact-Jaccard verification (CTE `v`)."""
     from langid_mr_spark.dedup import _MERSENNE, _perm_constants
 
     perms = _perm_constants(num_perm)
@@ -937,7 +967,7 @@ def _near_dup_sql(threshold: float = 0.5, num_perm: int = 32,
            "ELSE len(list_intersect(x.sh, y.sh)) * 1.0 / (len(x.sh) "
            "+ len(y.sh) - len(list_intersect(x.sh, y.sh))) END")
     return (
-        f"WITH t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}), "
+        f"t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}), "
         f"hs AS (SELECT doc_id, list_transform(sh, g -> "
         f"{_H15.format(x='g')} % {_MERSENNE}) AS h FROM s), "
         f"sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs), "
@@ -950,9 +980,36 @@ def _near_dup_sql(threshold: float = 0.5, num_perm: int = 32,
         "AND a.doc_id < b.doc_id), "
         f"v AS (SELECT c.id_a, c.id_b, {jac} AS j "
         "FROM cand c JOIN s x ON c.id_a = x.doc_id "
-        "JOIN s y ON c.id_b = y.doc_id) "
+        "JOIN s y ON c.id_b = y.doc_id)"
+    )
+
+
+def _near_dup_sql(threshold: float = 0.5, num_perm: int = 32,
+                  bands: int = 16) -> str:
+    """DuckDB replica of dedup.minhash_near_duplicates."""
+    return (
+        f"WITH {_near_dup_ctes(num_perm, bands)} "
         f"SELECT id_a, id_b, j FROM v WHERE j >= {threshold} "
         "ORDER BY id_a, id_b"
+    )
+
+
+def _dup_clusters_sql(threshold: float = 0.5) -> str:
+    """DuckDB replica of q_dup_clusters: the same verified near-dup pairs,
+    then connected components via a recursive-CTE transitive closure
+    (reach(a, b) = b reachable from a; cluster_id = min reachable id).
+    O(cluster²) closure rows — exact and fine at oracle scale; the Spark
+    side's label propagation is the scale path."""
+    return (
+        f"WITH RECURSIVE {_near_dup_ctes()}, "
+        f"nd AS (SELECT id_a, id_b FROM v WHERE j >= {threshold}), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM nd "
+        "UNION SELECT id_b, id_a FROM nd), "
+        "reach(a, b) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src) "
+        "SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a "
+        "ORDER BY id"
     )
 
 
@@ -988,11 +1045,47 @@ def _ann_lsh_sql(k: int = 5) -> str:
     )
 
 
+def _ivf_sql(k: int = 5) -> str:
+    """DuckDB replica of similarity.ivf_topk: anchor dots → argmax cell →
+    per-query top-n_probe cells (sort struct<-dot, cell>) → cell join →
+    exact cosine ranking."""
+    from langid_mr_spark.similarity import _hyperplanes
+
+    anchors = _hyperplanes(_EMB_DIM, _IVF_CELLS)
+    dots = "[" + ", ".join(
+        f"list_dot_product(e, [{', '.join(repr(p) for p in a)}])"
+        for a in anchors) + "]"
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings), "
+        f"d AS (SELECT vec_id, e, {dots} AS ds FROM v), "
+        "bk AS (SELECT vec_id, e, "
+        "list_position(ds, list_max(ds)) - 1 AS cell FROM d), "
+        "q AS (SELECT vec_id AS qid, e AS qe, "
+        f"unnest(list_transform(list_slice(list_sort(list_transform("
+        f"range(0, {_IVF_CELLS}), i -> struct_pack(negdot := -ds[i + 1], "
+        f"cell := i))), 1, {_IVF_PROBE}), s -> s.cell)) AS pcell "
+        "FROM d WHERE vec_id < 5), "
+        "s AS (SELECT q.qid, bk.vec_id, list_dot_product(bk.e, q.qe) AS dp, "
+        "sqrt(list_dot_product(bk.e, bk.e)) "
+        "* sqrt(list_dot_product(q.qe, q.qe)) AS dn "
+        "FROM bk JOIN q ON bk.cell = q.pcell), "
+        "r AS (SELECT qid, vec_id, CASE WHEN dn = 0 THEN 0.0 ELSE dp / dn "
+        "END AS sim FROM s), "
+        "w AS (SELECT qid, vec_id, sim, row_number() OVER ("
+        "PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM r) "
+        f"SELECT qid, rank, vec_id, round(sim, 6) AS sim FROM w "
+        f"WHERE rank <= {k} ORDER BY qid, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "gate_decisions_oracle": _gate_oracle_sql(),
         "near_dup_pairs": _near_dup_sql(),
+        "dup_clusters": _dup_clusters_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ivf_topk": _ivf_sql(),
         "count_by_status": (
             "SELECT o_orderstatus AS status, count(*) AS cnt "
             "FROM orders GROUP BY o_orderstatus"

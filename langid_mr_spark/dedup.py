@@ -220,6 +220,57 @@ def incremental_candidates(new_sigs: DataFrame,
     return new_vs_new.unionByName(old_vs_new).distinct()
 
 
+# --- duplicate-cluster canonicalization ---------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
+                       max_rounds: int = 8) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id)
+    where cluster_id = min doc id of the component (the canonical document
+    every duplicate collapses to — the step after candidate verification in
+    a corpus-dedup pipeline).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; a component of diameter d
+    converges in ≤ d rounds. Near-dup components are bucket-local and tiny
+    (pairs share LSH bands), so ``max_rounds`` of 8 is generous; rounds are
+    driver-side loop iterations over a DataFrame whose lineage is truncated
+    with localCheckpoint each round (at 10^12 docs each round is one
+    shuffle on id — the standard large-graph CC recipe; for adversarially
+    long chains switch to pointer-doubling, O(log d) rounds).
+
+    ``pairs``: (id_a, id_b) rows, any orientation. ``ids``: one ``id``
+    column — the full population (singletons emerge with cluster_id = id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst")))
+        .distinct()
+        # materialize once: every propagation round re-reads the edge set,
+        # and recomputing the upstream LSH candidate pipeline 8× would
+        # dominate the whole job
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("lab"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least(F.col("lab"),
+                                  F.coalesce(F.col("nlab"), F.col("lab")))
+                    .alias("lab"))
+        )
+        # truncate lineage: an 8-round loop otherwise builds a plan Catalyst
+        # re-analyzes from scratch each round
+        labels = new_labels.localCheckpoint(eager=True)
+    return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
 # --- SimHash -----------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -132,6 +132,75 @@ def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# --- IVF-style coarse quantizer ANN --------------------------------------------
+
+def _proj(col: Column, plane: list[float]) -> Column:
+    """Sequential-summation dot product against a literal vector."""
+    return F.aggregate(
+        F.zip_with(_to_double(col),
+                   F.array(*[F.lit(p) for p in plane]),
+                   lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cell(col: Column, dim: int, n_cells: int = 16) -> Column:
+    """Coarse-quantizer cell id: argmax dot against ``n_cells`` fixed anchor
+    vectors (ties → lowest cell, matching DuckDB list_position semantics).
+    The anchors are deterministic pseudo-random (data-independent), which
+    keeps the DuckDB oracle exact; a production deployment would Lloyd-
+    iterate them on a sample — the query shape (assign → bucket join) is
+    identical either way."""
+    anchors = _hyperplanes(dim, n_cells)
+    dots = F.array(*[_proj(col, a) for a in anchors])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_probe_cells(col: Column, dim: int, n_cells: int = 16,
+                    n_probe: int = 4) -> Column:
+    """Top-``n_probe`` cells by anchor dot (desc, ties → lower cell):
+    sort struct<-dot, cell> ascending, slice, project the cell."""
+    anchors = _hyperplanes(dim, n_cells)
+    entries = F.array(*[
+        F.struct((-_proj(col, a)).alias("negdot"),
+                 F.lit(c).cast("int").alias("cell"))
+        for c, a in enumerate(anchors)
+    ])
+    ranked = F.slice(F.sort_array(entries), 1, n_probe)
+    return F.transform(ranked, lambda s: s.getField("cell"))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF-flat ANN: every vector lives in exactly one coarse cell; a query
+    scores only the vectors in its ``n_probe`` nearest cells. At 10^12
+    vectors the index is one partitioned column (cell) — raise n_cells with
+    corpus size so cells stay bounded, n_probe trades recall for cost.
+    Candidates are scored with the exact sequential-sum cosine, so results
+    are bit-replicable (the DuckDB oracle replays anchors, assignment,
+    probing, and scoring)."""
+    v = vectors.withColumn("_cell", ivf_cell(F.col(vec_col), dim, n_cells))
+    q = (queries
+         .withColumn("_probes",
+                     ivf_probe_cells(F.col(qvec_col), dim, n_cells, n_probe))
+         .select("*", F.explode("_probes").alias("_cell"))
+         .drop("_probes"))
+    joined = v.join(F.broadcast(q), "_cell").select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
 # --- banded sign-LSH near-duplicate pairs (scale path) -------------------------
 
 def lsh_table_buckets(vectors: DataFrame, dim: int, tables: int = 16,

@@ -118,3 +118,19 @@ def test_banded_signatures_rejects_indivisible_bands(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="divisible"):
         _dd.banded_signatures(df, num_perm=32, bands=5)
+
+
+def test_duplicate_clusters_components(spark):
+    """Chain, triangle, and singletons all collapse to the min-id canonical
+    within max_rounds; orientation of pairs doesn't matter."""
+    from langid_mr_spark import dedup as _dd
+
+    # components: {1,2,3,4} chain, {10,11,12} triangle, {20} singleton
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long")
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 12, 20)], "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in _dd.duplicate_clusters(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}

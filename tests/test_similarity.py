@@ -102,3 +102,21 @@ def test_lsh_recall(frames):
         key = (r["qid"], r["vec_id"])
         if key in exact_sims:
             assert r["sim"] == exact_sims[key]
+
+
+def test_ivf_recall_and_exact_sims(frames):
+    """IVF probing on the clustered fixture: probed-cell candidates must
+    recover most exact neighbors, and every returned sim must equal the
+    exact cosine (scoring is exact; only candidate coverage is approximate)."""
+    v, q = frames
+    exact = similarity.cosine_topk(v, q, k=5).collect()
+    approx = similarity.ivf_topk(v, q, k=5, dim=DIM,
+                                 n_cells=8, n_probe=3).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.8
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
