@@ -363,6 +363,14 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (dedup.winnow_overlap_pairs):
+    partial-overlap/containment detection, top-20 by shared fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return (DD.winnow_overlap_pairs(docs)
+            .orderBy(F.desc("shared"), "id_a", "id_b").limit(20))
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
     verified MinHash-LSH near-dup pairs — every document mapped to the min
@@ -438,6 +446,27 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec, threshold=0.45, dim=_EMB_DIM,
         tables=_NDUP_TABLES, planes=_NDUP_PLANES,
     ).orderBy("id_a", "id_b")
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample (sampling.deterministic_sample): the subset
+    is a pure function of the data — identical across reruns,
+    repartitioning, and engines (md5-prefix uniform draw)."""
+    from langid_mr_spark import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    return (SMP.deterministic_sample(docs, 0.1, "doc_id")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap (sampling.stratified_cap): at most 3 documents per
+    lang, chosen by deterministic hash order."""
+    from langid_mr_spark import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    return (SMP.stratified_cap(docs, ["lang"], 3, "doc_id")
+            .select("doc_id", "lang").orderBy("doc_id"))
 
 
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,12 +700,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_sig": q_minhash_sig,
         "near_dup_pairs": q_near_dup_pairs,
+        "winnow_pairs": q_winnow_pairs,
         "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "sample": q_sample,
+        "stratified_cap": q_stratified_cap,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
@@ -1045,6 +1077,36 @@ def _ann_lsh_sql(k: int = 5) -> str:
     )
 
 
+def _winnow_sql(k: int = 16, w: int = 8, max_df: int = 10,
+                min_shared: int = 2, topn: int = 20) -> str:
+    """DuckDB replica of dedup.winnow_overlap_pairs: k-gram hashes →
+    per-window minima → dedupe → df-cap → fingerprint bucket join."""
+    from langid_mr_spark.dedup import _MERSENNE
+
+    gram_hash = f"{_H15.format(x=f'substr(lt, i, {k})')} % {_MERSENNE}"
+    return (
+        "WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents), "
+        f"g AS (SELECT doc_id, CASE WHEN length(lt) - {k} + 1 >= 1 THEN "
+        f"list_transform(range(1, length(lt) - {k} + 2), i -> {gram_hash}) "
+        "ELSE []::BIGINT[] END AS gh FROM l), "
+        "f AS (SELECT doc_id, CASE WHEN len(gh) >= 1 THEN "
+        "list_distinct(list_transform(range(1, "
+        f"greatest(len(gh) - {w} + 1, 1) + 1), "
+        f"j -> list_min(list_slice(gh, j, j + {w} - 1)))) "
+        "ELSE []::BIGINT[] END AS fps FROM g), "
+        "e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM f), "
+        f"rare AS (SELECT fp FROM e GROUP BY fp "
+        f"HAVING count(*) <= {max_df}), "
+        "er AS (SELECT e.id, e.fp FROM e JOIN rare USING (fp)), "
+        "p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared "
+        "FROM er a JOIN er b ON a.fp = b.fp AND a.id < b.id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared FROM p "
+        f"WHERE shared >= {min_shared} "
+        f"ORDER BY shared DESC, id_a, id_b LIMIT {topn}"
+    )
+
+
 def _ivf_sql(k: int = 5) -> str:
     """DuckDB replica of similarity.ivf_topk: anchor dots → argmax cell →
     per-query top-n_probe cells (sort struct<-dot, cell>) → cell join →
@@ -1084,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "gate_decisions_oracle": _gate_oracle_sql(),
         "near_dup_pairs": _near_dup_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "winnow_pairs": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ivf_topk": _ivf_sql(),
         "count_by_status": (
@@ -1227,6 +1290,19 @@ def oracle_sql() -> dict[str, str]:
             "END, 6) AS sim FROM s "
             "WHERE round(CASE WHEN d = 0 THEN 0.0 ELSE dp / d END, 6) "
             ">= 0.45 ORDER BY id_a, id_b"
+        ),
+        "sample": (
+            "SELECT doc_id, lang FROM documents "
+            f"WHERE {_H15.format(x='doc_id::VARCHAR')} / "
+            f"{float(1 << 60)!r} < 0.1 ORDER BY doc_id"
+        ),
+        "stratified_cap": (
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang ORDER BY "
+            f"    {_H15.format(x='doc_id::VARCHAR')} / {float(1 << 60)!r} "
+            "    ASC, doc_id ASC) AS rk FROM documents) "
+            "WHERE rk <= 3 ORDER BY doc_id"
         ),
         "quality_flags": (
             f"WITH t AS ({_TOKS_CTE}), "

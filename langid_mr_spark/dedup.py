@@ -220,6 +220,65 @@ def incremental_candidates(new_sigs: DataFrame,
     return new_vs_new.unionByName(old_vs_new).distinct()
 
 
+# --- winnowing fingerprints (partial-overlap / containment detection) ---------------
+
+def winnow_fingerprints(col: Column, k: int = 16, w: int = 8) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer et al. 2003): hash
+    every k-char gram of the lowered text, keep the min hash of each
+    w-gram window, dedupe. Guarantees any shared substring of length
+    ≥ k + w − 1 shares at least one fingerprint — catching CONTAINED
+    duplication (quotes, boilerplate blocks, stitched pages) that
+    whole-document shingle Jaccard misses. md5-prefix hashing in the 31-bit
+    Mersenne space keeps the DuckDB oracle bit-identical."""
+    text = F.lower(col)
+    n_grams = F.length(text) - k + 1
+    empty = F.array().cast("array<bigint>")
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: md5_long(F.substr(text, i, F.lit(k))) % F.lit(_MERSENNE),
+        ),
+    ).otherwise(empty)
+    n_win = F.greatest(F.size(grams) - w + 1, F.lit(1))
+    return F.when(
+        F.size(grams) >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        ),
+    ).otherwise(empty)
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 16, w: int = 8,
+                         max_df: int = 10, min_shared: int = 2) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints. Fingerprints occurring in more than ``max_df``
+    documents are dropped first (boilerplate 16-grams would otherwise pair
+    everything with everything — the standard df-cap): the join is then
+    bucket-local on rare fingerprints, never all-pairs, and the df-cap
+    bounds each bucket's pair fan-out to max_df² at any corpus size."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df))
+    fps = fps.join(rare.select("fp"), "fp")
+    a = fps.select("fp", F.col("id").alias("id_a"))
+    b = fps.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # --- duplicate-cluster canonicalization ---------------------------------------------
 
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,

@@ -134,3 +134,30 @@ def test_duplicate_clusters_components(spark):
     got = {r["id"]: r["cluster_id"]
            for r in _dd.duplicate_clusters(pairs, ids).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_winnowing_guarantee_shared_block(spark):
+    """Winnowing guarantee: two documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; unrelated documents with
+    no common 16-gram share none."""
+    from langid_mr_spark import dedup as _dd
+    from pyspark.sql import functions as F
+
+    k, w = 16, 8
+    block = "this exact boilerplate block appears in both documents verbatim"
+    assert len(block) >= k + w - 1
+    rows = [
+        (1, "unique preamble alpha. " + block + " unique tail alpha."),
+        (2, "different opening beta— " + block + " different close beta."),
+        (3, "zq vw xk pj md lr bt ns gh cf wy dz qe rt ui op as df gj kl"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.select(
+        "doc_id",
+        _dd.winnow_fingerprints(F.col("text"), k, w).alias("fps")).collect()}
+    assert fps[1] & fps[2], "shared block must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    pairs = {(r["id_a"], r["id_b"]): r["shared"] for r in
+             _dd.winnow_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
