@@ -469,6 +469,26 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible slice of the curation composition (curate.py):
+    quality rules → exact-dedup canonical (chosen among quality survivors)
+    → deterministic per-language cap → per-language funnel counts. The full
+    composition including the model gate is exercised by tests/test_curate;
+    this query value-checks the relational stages end-to-end as ONE plan."""
+    from langid_mr_spark import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    ok = docs.filter(Q.quality_fail_reason(F.col("text")).isNull())
+    w = W.partitionBy(F.md5(F.col("text")))
+    canon = (ok.withColumn("_canon", F.min("doc_id").over(w))
+             .filter(F.col("doc_id") == F.col("_canon")))
+    capped = SMP.stratified_cap(canon, ["lang"], 50, "doc_id")
+    return (capped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("curated"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang"))
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 heuristic quality metrics + first failed rule per doc."""
     docs = _t(spark, sf_dir, "documents")
@@ -709,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "sample": q_sample,
         "stratified_cap": q_stratified_cap,
+        "curation_rollup": q_curation_rollup,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
@@ -1077,6 +1098,59 @@ def _ann_lsh_sql(k: int = 5) -> str:
     )
 
 
+# Gopher/C4 quality metrics + priority-ordered fail reason, shared by the
+# quality_flags oracle and the curation-rollup oracle (one definition — the
+# two cannot drift apart).
+_QUALITY_REASON = (
+    "CASE WHEN n < 5 THEN 'too_few_words' "
+    "WHEN n > 100000 THEN 'too_many_words' "
+    "WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'mean_word_len' "
+    "WHEN sym > 0.2 THEN 'symbol_ratio' "
+    "WHEN dup > 0.6 THEN 'repetitive' "
+    "WHEN sd < 0.02 THEN 'low_stopword_density' END"
+)
+
+
+def _quality_ctes() -> str:
+    return (
+        f"t AS ({_TOKS_CTE}), "
+        "m AS (SELECT doc_id, len(toks) AS n, "
+        " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "  list_aggregate(list_transform(toks, x -> length(x)), 'sum') "
+        "  * 1.0 / len(toks) END AS mean_len, "
+        " CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        f"  length(regexp_replace(text, '{_WORDLIKE_CLASS}', '', 'g')) * 1.0 "
+        "  / length(text) END AS sym, "
+        " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        "  1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END AS dup, "
+        " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"  (len(list_filter(toks, x -> list_contains([{_EN_SW_SQL}], x)))"
+        f"   + len(list_filter(toks, x -> list_contains([{_FR_SW_SQL}], "
+        "x)))) * 1.0 / len(toks) END AS sd FROM t)"
+    )
+
+
+def _curation_rollup_sql(cap: int = 50) -> str:
+    """DuckDB replica of q_curation_rollup: quality pass → exact-dedup
+    canonical → per-language hash-order cap → per-language counts."""
+    return (
+        f"WITH {_quality_ctes()}, "
+        f"ok AS (SELECT doc_id FROM m WHERE {_QUALITY_REASON} IS NULL), "
+        "canon AS (SELECT d.doc_id, d.lang FROM ("
+        "  SELECT doc_id, lang, "
+        "  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id "
+        "  FROM documents WHERE doc_id IN (SELECT doc_id FROM ok)) d "
+        "  WHERE d.doc_id = d.canonical_id), "
+        "capped AS (SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+        f"  ORDER BY {_H15.format(x='doc_id::VARCHAR')} / "
+        f"  {float(1 << 60)!r} ASC, doc_id ASC) AS rk FROM canon) "
+        f"  WHERE rk <= {cap}) "
+        "SELECT lang, count(*) AS curated, min(doc_id) AS first_doc "
+        "FROM capped GROUP BY lang ORDER BY lang"
+    )
+
+
 def _winnow_sql(k: int = 16, w: int = 8, max_df: int = 10,
                 min_shared: int = 2, topn: int = 20) -> str:
     """DuckDB replica of dedup.winnow_overlap_pairs: k-gram hashes →
@@ -1305,31 +1379,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rk <= 3 ORDER BY doc_id"
         ),
         "quality_flags": (
-            f"WITH t AS ({_TOKS_CTE}), "
-            "m AS (SELECT doc_id, len(toks) AS n, "
-            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
-            "  list_aggregate(list_transform(toks, x -> length(x)), 'sum') "
-            "  * 1.0 / len(toks) END AS mean_len, "
-            " CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-            f"  length(regexp_replace(text, '{_WORDLIKE_CLASS}', '', 'g')) * 1.0 "
-            "  / length(text) END AS sym, "
-            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
-            "  1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END AS dup, "
-            " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
-            f"  (len(list_filter(toks, x -> list_contains([{_EN_SW_SQL}], x)))"
-            f"   + len(list_filter(toks, x -> list_contains([{_FR_SW_SQL}], "
-            "x)))) * 1.0 / len(toks) END AS sd FROM t) "
+            f"WITH {_quality_ctes()} "
             "SELECT doc_id, n AS n_words, mean_len AS mean_word_len, "
             "sym AS symbol_ratio, dup AS dup_token_ratio, "
             "sd AS stopword_density, "
-            "CASE WHEN n < 5 THEN 'too_few_words' "
-            " WHEN n > 100000 THEN 'too_many_words' "
-            " WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'mean_word_len' "
-            " WHEN sym > 0.2 THEN 'symbol_ratio' "
-            " WHEN dup > 0.6 THEN 'repetitive' "
-            " WHEN sd < 0.02 THEN 'low_stopword_density' END "
-            "AS quality_fail_reason FROM m ORDER BY doc_id"
+            f"{_QUALITY_REASON} AS quality_fail_reason "
+            "FROM m ORDER BY doc_id"
         ),
+        "curation_rollup": _curation_rollup_sql(),
         "bpe_token_count": (
             f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_RE}')) "
             "AS n_bpe FROM documents ORDER BY doc_id"
