@@ -141,14 +141,21 @@ def q_recent_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_recent_avg_duration(ev: DataFrame, k: int = 50) -> DataFrame:
     """A4 core (main.py:283-312): the reference PREFERS the JSON result's
     duration field, falls back to the measured value, and returns 0.0 (not
-    NULL) on an empty set — all three behaviors reproduced here."""
+    NULL) on an empty set — all three behaviors reproduced here.
+
+    The top-k selection (TakeOrderedAndProject: per-partition heaps on the
+    narrow sort key) runs BEFORE the JSON parse, so only the k selected
+    events pay get_json_object — the reference likewise fetches the 50
+    most recent rows first and reads their JSON after (main.py:283-295).
+    Parsing in the projection under the sort cost a full-scan JSON parse
+    per event (measured 10× on the bench corpus, BENCH_r02 vs r01)."""
+    top = (ev.select("ts", "event_id", "props", "value")
+           .orderBy(F.desc("ts"), F.desc("event_id")).limit(k))
     dur = F.coalesce(
         F.get_json_object(F.col("props"), "$.duration").cast("double"),
         F.col("value"),
     )
-    top = (ev.select(F.col("ts"), F.col("event_id"), dur.alias("dur"))
-           .orderBy(F.desc("ts"), F.desc("event_id")).limit(k))
-    return top.agg(
+    return top.select(dur.alias("dur")).agg(
         F.coalesce(F.round(F.avg("dur"), 2), F.lit(0.0)).alias("avg_duration")
     )
 
@@ -343,6 +350,16 @@ def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("j"), "id_a", "id_b").limit(20))
 
 
+def q_jaccard_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for global top-k-by-similarity (dedup.jaccard_topk_lsh):
+    banded-LSH candidate pairs (one bucket-key shuffle) → exact Jaccard on
+    candidates → TakeOrderedAndProject top-20. Companion to the all-pairs
+    verifier ``jaccard_top_pairs``; recall vs the exact top-k is measured in
+    tests/test_dedup.py (1.0 on the contract corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.jaccard_topk_lsh(docs, k=20)
+
+
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 minhash signature values per doc (md5-based, 31-bit space)."""
     docs = _t(spark, sf_dir, "documents")
@@ -487,6 +504,83 @@ def q_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("curated"),
                  F.min("doc_id").alias("first_doc"))
             .orderBy("lang"))
+
+
+def q_curation_full_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE curation funnel (curate.curate) value-checked end-to-end
+    in ONE Spark plan: ingest validation → quality rules → the full C1–C8
+    gate cascade (injected SQL-expressible scorers — the reference's
+    mock-detector pattern, conftest.py:24) → MinHash-LSH near-dup candidates
+    → exact-Jaccard verification → connected-component canonicalization →
+    per-language cap → deterministic sample. The DuckDB twin is one
+    WITH RECURSIVE chain composed from the same building blocks that are
+    individually hash-green (gate chain, banded-LSH replica, transitive
+    closure, hash-order cap), compared per document on every lineage
+    column."""
+    from langid_mr_spark import curate as CU
+
+    docs = _t(spark, sf_dir, "documents")
+    inp = docs.select(
+        F.concat(F.lit("doc://"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.col("lang"),
+        F.col("text"),
+        # every 97th doc gets a NULL payload → exercises the
+        # invalid_input branch of the funnel
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+        .alias("html"),
+    )
+    out = CU.curate(
+        inp, dedup_threshold=0.5, per_lang_cap=25, sample_fraction=0.9,
+        use_html=False, persist_level=None,
+        scorer=_make_heuristic_scorer(_SCORER1_MULT),
+        scorer2=_make_heuristic_scorer(_SCORER2_MULT),
+        ppl_scorer=_heuristic_ppl_scorer,
+    )
+    return out.select(
+        "url", "lang", "language", "keep", "drop_reason",
+        "quality_fail_reason", "final_keep", "canonical_url",
+        "is_canonical", "curated",
+    ).orderBy("url")
+
+
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact dedup (streaming.streaming_exact_dedup,
+    applyInPandasWithState) replayed over the documents table in ONE
+    AvailableNow drain — frame-equal to the batch operator
+    (dedup.exact_duplicates), which is exactly what the DuckDB oracle
+    computes (min-id per content hash). Fresh checkpoint per run →
+    deterministic; the result is materialized (localCheckpoint) before the
+    scratch dirs are removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from langid_mr_spark import streaming as STR
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    try:
+        # the file stream source wants a DIRECTORY; symlink the table file in
+        os.mkdir(f"{tmp}/in")
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+                   f"{tmp}/in/documents.parquet")
+        STR.streaming_exact_dedup(
+            spark,
+            f"{tmp}/in",
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            schema="doc_id bigint, lang string, text string",
+            id_col="doc_id",
+            carry_cols=("lang",),
+        )
+        out = (spark.read.parquet(f"{tmp}/out")
+               .orderBy("doc_id")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub": q_scrub,
         "exact_dedup": q_exact_dedup,
         "jaccard_top_pairs": q_jaccard_top_pairs,
+        "jaccard_topk_scale": q_jaccard_topk_scale,
         "minhash_sig": q_minhash_sig,
         "near_dup_pairs": q_near_dup_pairs,
         "winnow_pairs": q_winnow_pairs,
@@ -730,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample": q_sample,
         "stratified_cap": q_stratified_cap,
         "curation_rollup": q_curation_rollup,
+        "curation_full_oracle": q_curation_full_oracle,
+        "streaming_dedup_replay": q_streaming_dedup_replay,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
@@ -745,9 +842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # DuckDB-side building blocks shared by several oracles
-_TOKS_CTE = (
-    f"SELECT doc_id, text, {_TOKENIZE_SQL} AS toks FROM documents"
-)
+def _toks_cte(src: str = "documents") -> str:
+    """(doc_id, text, toks) over any relation exposing doc_id + text."""
+    return f"SELECT doc_id, text, {_TOKENIZE_SQL} AS toks FROM {src}"
+
+
+_TOKS_CTE = _toks_cte()
 _SHINGLE_CTE = (
     "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
     "list_distinct(list_transform(range(1, len(toks) - 1), "
@@ -873,10 +973,13 @@ def _gmusic_cols(src: str, prefix: str) -> str:
     )
 
 
-def _gate_oracle_sql() -> str:
-    """DuckDB replica of gate.apply_gate with the heuristic scorers injected
-    (cascade branch order: lang_gate.py:340-546; emissions: gate.py
-    _emit_pass1/2/3; derived columns: gate.with_derived)."""
+def _gate_chain_ctes() -> str:
+    """CTE chain replicating gate.apply_gate with the heuristic scorers
+    injected (cascade branch order: lang_gate.py:340-546; emissions: gate.py
+    _emit_pass1/2/3; derived columns: gate.with_derived). Reads a relation
+    ``d0(doc_id, probe)`` — doc_id may be any type (bigint doc ids or
+    VARCHAR urls; the chain only carries/groups it) — and ends with
+    ``gate_out`` exposing every decision/derived column."""
     allowed = ", ".join(f"'{x}'" for x in sorted(C.ALLOWED_LANGS))
     keeps = ", ".join(f"'{x}'" for x in sorted(C.KEEP_DECISIONS))
     scorer = (
@@ -887,8 +990,6 @@ def _gate_oracle_sql() -> str:
     prob1t = prob.format(m=_SCORER1_MULT)
     prob2t = prob.format(m=_SCORER2_MULT)
     return (
-        "WITH d0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, "
-        f"{C.PROBE_CHARS}) AS probe FROM documents), "
         # pass 1: heuristics + injected scorer on the probe
         f"t1 AS (SELECT doc_id, probe, {_gtok('probe')} AS toks1, "
         "probe AS m1_in FROM d0), "
@@ -968,8 +1069,8 @@ def _gate_oracle_sql() -> str:
         "lower(trim(coalesce(detection_method, ''))) AS mlo FROM uni), "
         "der2 AS (SELECT *, "
         f"(pv >= {C.MID_LOWER} AND pv < {C.MID_UPPER}) AS mid_zone "
-        "FROM der) "
-        "SELECT doc_id, gate_decision, language, probability, "
+        "FROM der), "
+        "gate_out AS (SELECT doc_id, gate_decision, language, probability, "
         "detection_method, use_vad, en_ratio, fr_ratio, token_count, "
         "music_only, mid_zone, "
         f"gate_decision IN ({keeps}) AS keep, "
@@ -1000,13 +1101,26 @@ def _gate_oracle_sql() -> str:
         f"WHEN starts_with(mlo, 'vad') THEN '{C.PIPELINE_MODE_VAD}' "
         f"WHEN dlo = 'accepted_high_conf' THEN '{C.PIPELINE_MODE_BASE}' "
         f"ELSE '{C.PIPELINE_MODE_UNKNOWN}' END AS pipeline_mode "
-        "FROM der2 ORDER BY doc_id"
+        "FROM der2)"
     )
 
 
-def _near_dup_ctes(num_perm: int = 32, bands: int = 16) -> str:
+def _gate_oracle_sql() -> str:
+    """DuckDB replica of q_gate_decisions_oracle: the gate chain over the
+    documents table's probe-bounded text."""
+    return (
+        "WITH d0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, "
+        f"{C.PROBE_CHARS}) AS probe FROM documents), "
+        f"{_gate_chain_ctes()} "
+        "SELECT * FROM gate_out ORDER BY doc_id"
+    )
+
+
+def _near_dup_ctes(num_perm: int = 32, bands: int = 16,
+                   src: str = "documents") -> str:
     """Shared CTE chain for the banded-LSH near-dup replica: signature →
-    banded keys → bucket self-join → exact-Jaccard verification (CTE `v`)."""
+    banded keys → bucket self-join → exact-Jaccard verification (CTE `v`).
+    ``src``: any relation exposing (doc_id, text)."""
     from langid_mr_spark.dedup import _MERSENNE, _perm_constants
 
     perms = _perm_constants(num_perm)
@@ -1020,7 +1134,7 @@ def _near_dup_ctes(num_perm: int = 32, bands: int = 16) -> str:
            "ELSE len(list_intersect(x.sh, y.sh)) * 1.0 / (len(x.sh) "
            "+ len(y.sh) - len(list_intersect(x.sh, y.sh))) END")
     return (
-        f"t AS ({_TOKS_CTE}), s AS ({_SHINGLE_CTE}), "
+        f"t AS ({_toks_cte(src)}), s AS ({_SHINGLE_CTE}), "
         f"hs AS (SELECT doc_id, list_transform(sh, g -> "
         f"{_H15.format(x='g')} % {_MERSENNE}) AS h FROM s), "
         f"sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs), "
@@ -1111,10 +1225,12 @@ _QUALITY_REASON = (
 )
 
 
-def _quality_ctes() -> str:
+def _quality_ctes(src: str = "documents", p: str = "") -> str:
+    """Quality-metric CTE chain over (doc_id, text) of ``src``; ``p``
+    prefixes the CTE names so the chain composes into larger WITH blocks."""
     return (
-        f"t AS ({_TOKS_CTE}), "
-        "m AS (SELECT doc_id, len(toks) AS n, "
+        f"{p}t AS ({_toks_cte(src)}), "
+        f"{p}m AS (SELECT doc_id, len(toks) AS n, "
         " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
         "  list_aggregate(list_transform(toks, x -> length(x)), 'sum') "
         "  * 1.0 / len(toks) END AS mean_len, "
@@ -1126,7 +1242,7 @@ def _quality_ctes() -> str:
         " CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
         f"  (len(list_filter(toks, x -> list_contains([{_EN_SW_SQL}], x)))"
         f"   + len(list_filter(toks, x -> list_contains([{_FR_SW_SQL}], "
-        "x)))) * 1.0 / len(toks) END AS sd FROM t)"
+        f"x)))) * 1.0 / len(toks) END AS sd FROM {p}t)"
     )
 
 
@@ -1148,6 +1264,70 @@ def _curation_rollup_sql(cap: int = 50) -> str:
         f"  WHERE rk <= {cap}) "
         "SELECT lang, count(*) AS curated, min(doc_id) AS first_doc "
         "FROM capped GROUP BY lang ORDER BY lang"
+    )
+
+
+def _curation_full_sql(threshold: float = 0.5, cap: int = 25,
+                       frac: float = 0.9) -> str:
+    """DuckDB replica of q_curation_full_oracle: the whole curation funnel
+    as one WITH RECURSIVE chain, composed from the individually-green
+    building blocks (gate chain, quality metrics, banded-LSH near-dup,
+    recursive-CTE transitive closure, hash-order cap, hash sample)."""
+    hspace = float(1 << 60)
+    h_curate = _H15.format(x="a.url || 'curate'") + f" / {hspace!r}"
+    return (
+        "WITH RECURSIVE "
+        "inp AS (SELECT 'doc://' || lpad(doc_id::VARCHAR, 8, '0') AS url, "
+        "lang, text, CASE WHEN doc_id % 97 = 0 THEN NULL "
+        "ELSE encode(coalesce(text, '')) END AS html FROM documents), "
+        "val AS (SELECT *, (url IS NOT NULL AND url <> '' "
+        f"AND html IS NOT NULL AND octet_length(html) <= {C.MAX_DOC_BYTES}"
+        ") AS ok FROM inp), "
+        "vd AS (SELECT url AS doc_id, text FROM val WHERE ok), "
+        # quality rules on the FULL text (prefix q)
+        f"{_quality_ctes('vd', 'q')}, "
+        f"qr AS (SELECT doc_id, {_QUALITY_REASON} AS quality_fail_reason "
+        "FROM qm), "
+        # gate cascade on the probe
+        "d0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, "
+        f"{C.PROBE_CHARS}) AS probe FROM vd), "
+        f"{_gate_chain_ctes()}, "
+        # valid rows: gate ⨝ quality; invalid rows: the invalid emission
+        "comb AS ("
+        "SELECT g.doc_id AS url, g.language, g.keep, g.drop_reason, "
+        "q.quality_fail_reason, "
+        "(g.keep AND q.quality_fail_reason IS NULL) AS final_keep "
+        "FROM gate_out g JOIN qr q USING (doc_id) "
+        "UNION ALL "
+        "SELECT url, 'none', FALSE, "
+        f"'{C.DROP_INVALID_INPUT}', NULL, FALSE FROM val WHERE NOT ok), "
+        # near-dup clustering over KEPT probe text (kt exposes doc_id+text
+        # for the shared banded-LSH chain)
+        "kt AS (SELECT c.url AS doc_id, d.probe AS text FROM comb c "
+        "JOIN d0 d ON d.doc_id = c.url WHERE c.final_keep), "
+        f"{_near_dup_ctes(src='kt')}, "
+        f"nd AS (SELECT id_a, id_b FROM v WHERE j >= {threshold}), "
+        "e AS (SELECT id_a AS src, id_b AS dst FROM nd "
+        "UNION SELECT id_b, id_a FROM nd), "
+        "reach(a, b) AS (SELECT doc_id, doc_id FROM kt "
+        "UNION SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src), "
+        "clus AS (SELECT a AS url, min(b) AS canonical_url FROM reach "
+        "GROUP BY a), "
+        "ann AS (SELECT c.*, cl.canonical_url, "
+        "(c.final_keep AND cl.canonical_url = c.url) AS is_canonical "
+        "FROM comb c LEFT JOIN clus cl ON cl.url = c.url), "
+        # per-language hash-order cap among canonical docs
+        "ranked AS (SELECT url, row_number() OVER (PARTITION BY language "
+        f"ORDER BY {_H15.format(x='url')} / {hspace!r} ASC, url ASC) AS rk "
+        "FROM ann WHERE is_canonical), "
+        f"cap AS (SELECT url FROM ranked WHERE rk <= {cap}) "
+        "SELECT a.url, v.lang, a.language, a.keep, a.drop_reason, "
+        "a.quality_fail_reason, a.final_keep, a.canonical_url, "
+        "a.is_canonical, "
+        "(a.is_canonical AND a.url IN (SELECT url FROM cap) "
+        f"AND {h_curate} < {frac}) AS curated "
+        "FROM ann a JOIN val v ON v.url = a.url "
+        "ORDER BY a.url"
     )
 
 
@@ -1219,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "gate_decisions_oracle": _gate_oracle_sql(),
         "near_dup_pairs": _near_dup_sql(),
+        "jaccard_topk_scale": (
+            f"WITH {_near_dup_ctes()} SELECT id_a, id_b, j FROM v "
+            "ORDER BY j DESC, id_a, id_b LIMIT 20"),
         "dup_clusters": _dup_clusters_sql(),
         "winnow_pairs": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
@@ -1387,6 +1570,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM m ORDER BY doc_id"
         ),
         "curation_rollup": _curation_rollup_sql(),
+        "curation_full_oracle": _curation_full_sql(),
+        "streaming_dedup_replay": (
+            "SELECT md5(coalesce(text, '')) AS h, doc_id, lang, "
+            "doc_id <> min(doc_id) OVER "
+            "(PARTITION BY md5(coalesce(text, ''))) AS is_duplicate, "
+            "min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) "
+            "AS canonical_doc_id FROM documents ORDER BY doc_id"),
         "bpe_token_count": (
             f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_RE}')) "
             "AS n_bpe FROM documents ORDER BY doc_id"

@@ -39,23 +39,14 @@ def curate(
     answers both "what is the training shard" (filter ``curated``) and
     "why was each document dropped" (drop_reason / quality_fail_reason /
     canonical_url). Near-dup runs on the probe-bounded extracted text of
-    KEPT documents only (the gate already dropped the rest), keyed by url.
+    KEPT documents only (the gate already dropped the rest), keyed by url —
+    the text is CARRIED through run_pipeline (``carry_text``), so the whole
+    funnel pays exactly one extraction UDF pass.
     """
-    use_html = pipeline_kwargs.get("use_html", True)
-    gated = pipeline.run_pipeline(df, **pipeline_kwargs)
+    gated = pipeline.run_pipeline(df, carry_text=True, **pipeline_kwargs)
 
-    # re-attach the document text for content clustering (the gate output
-    # deliberately carries only the scrubbed snippet): join the KEPT url set
-    # to the input FIRST so the re-extraction UDF runs only on survivors;
-    # at production scale the join is co-located when the input table is
-    # bucketed by url (bucketing.py)
-    kept_input = gated.filter(F.col("final_keep")).select("url").join(df, "url")
-    if use_html:
-        kept_text = kept_input.select(
-            "url", pipeline.extract_text_udf(F.col("html"))
-            .getField("extracted").alias("_text"))
-    else:
-        kept_text = kept_input.select("url", F.col("text").alias("_text"))
+    kept_text = gated.filter(F.col("final_keep")).select(
+        "url", F.col("extracted_probe").alias("_text"))
 
     pairs = dedup.minhash_near_duplicates(
         kept_text, id_col="url", text_col="_text",
@@ -65,7 +56,7 @@ def curate(
     clusters = clusters.select(
         F.col("id").alias("url"), F.col("cluster_id").alias("canonical_url"))
 
-    out = gated.join(clusters, "url", "left")
+    out = gated.drop("extracted_probe").join(clusters, "url", "left")
     out = out.withColumn(
         "is_canonical",
         F.col("final_keep") & (F.col("canonical_url") == F.col("url")))

@@ -161,6 +161,31 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def jaccard_topk_lsh(df: DataFrame, k: int = 20, id_col: str = "doc_id",
+                     text_col: str = "text", num_perm: int = 32,
+                     bands: int = 16, n: int = 3) -> DataFrame:
+    """Global top-k most-similar pairs AT SCALE: banded MinHash-LSH
+    candidates (one bucket-key shuffle, never all-pairs) → exact Jaccard on
+    candidates only → global top-k (orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heaps, k rows to the driver).
+
+    This is the scale path for the all-pairs verifier
+    ``jaccard_top_pairs_exact``: at 10^12 documents the verifier is
+    O(n²)-impossible while this runs in the same budget as any LSH dedup
+    pass. Trade-off: a pair is only visible if it collides in ≥1 band —
+    recall vs the exact top-k is measured in tests/test_dedup.py (banded
+    collision probability 1−(1−j^r)^b is ≥ 0.96 at j ≥ 0.5 with the default
+    32/16 parameters, and the top of the ranking is precisely the
+    high-Jaccard region where LSH recall is near 1)."""
+    return (
+        minhash_near_duplicates(df, id_col=id_col, text_col=text_col,
+                                threshold=0.0, num_perm=num_perm,
+                                bands=bands, n=n)
+        .orderBy(F.desc("j"), "id_a", "id_b")
+        .limit(k)
+    )
+
+
 # --- incremental dedup against a persistent signature store -------------------------
 
 def banded_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -282,20 +307,26 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
 # --- duplicate-cluster canonicalization ---------------------------------------------
 
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
-                       max_rounds: int = 8) -> DataFrame:
+                       max_rounds: int = 16) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, cluster_id)
     where cluster_id = min doc id of the component (the canonical document
     every duplicate collapses to — the step after candidate verification in
     a corpus-dedup pipeline).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; a component of diameter d
-    converges in ≤ d rounds. Near-dup components are bucket-local and tiny
-    (pairs share LSH bands), so ``max_rounds`` of 8 is generous; rounds are
-    driver-side loop iterations over a DataFrame whose lineage is truncated
-    with localCheckpoint each round (at 10^12 docs each round is one
-    shuffle on id — the standard large-graph CC recipe; for adversarially
-    long chains switch to pointer-doubling, O(log d) rounds).
+    Min-label propagation WITH pointer doubling: each round every node takes
+    (a) the min label among itself and its neighbors (hook), then (b) the
+    label of its own label (shortcut — the classic pointer-jumping step), so
+    label chains halve every round and a component of diameter d converges
+    in O(log d) rounds, not d. Convergence is DETECTED, not assumed: each
+    round counts changed labels (one cheap aggregate on the
+    already-checkpointed frame) and exits at the fixpoint; if labels are
+    still changing after ``max_rounds`` the function raises rather than
+    silently returning split clusters — with doubling, 16 rounds covers any
+    diameter up to ~2^15, far beyond real near-dup components (which are
+    bucket-local and tiny). Rounds are driver-side loop iterations over a
+    DataFrame whose lineage is truncated with localCheckpoint each round (at
+    10^12 docs each round is two shuffles on id — the standard large-graph
+    CC recipe).
 
     ``pairs``: (id_a, id_b) rows, any orientation. ``ids``: one ``id``
     column — the full population (singletons emerge with cluster_id = id).
@@ -307,8 +338,8 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                          F.col("id_a").alias("dst")))
         .distinct()
         # materialize once: every propagation round re-reads the edge set,
-        # and recomputing the upstream LSH candidate pipeline 8× would
-        # dominate the whole job
+        # and recomputing the upstream LSH candidate pipeline each round
+        # would dominate the whole job
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col("id"), F.col("id").alias("lab"))
@@ -318,15 +349,44 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select("id", F.least(F.col("lab"),
-                                  F.coalesce(F.col("nlab"), F.col("lab")))
-                    .alias("lab"))
+        hooked = (
+            labels.withColumnRenamed("lab", "_old")
+            .join(neighbor_min, "id", "left")
+            .select("id", "_old",
+                    F.least(F.col("_old"),
+                            F.coalesce(F.col("nlab"), F.col("_old")))
+                    .alias("_h"))
         )
-        # truncate lineage: an 8-round loop otherwise builds a plan Catalyst
+        # pointer doubling: lab ← min(lab, lab(lab)). Every label is itself
+        # an id in the population (labels only ever take id values), so the
+        # self-lookup join always resolves; the left join guards the
+        # degenerate empty-population case.
+        lab_of = hooked.select(F.col("id").alias("_pid"),
+                               F.col("_h").alias("_plab"))
+        new_labels = (
+            hooked.join(lab_of, hooked._h == lab_of._pid, "left")
+            .select(
+                "id",
+                F.least(F.col("_h"), F.coalesce(F.col("_plab"), F.col("_h")))
+                .alias("lab"),
+                (F.least(F.col("_h"),
+                         F.coalesce(F.col("_plab"), F.col("_h")))
+                 != F.col("_old")).cast("int").alias("_chg"),
+            )
+        )
+        # truncate lineage: the loop otherwise builds a plan Catalyst
         # re-analyzes from scratch each round
-        labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_rounds} rounds "
+            "(labels still changing) — raise max_rounds; returning here "
+            "would silently split clusters"
+        )
     return labels.select("id", F.col("lab").alias("cluster_id"))
 
 

@@ -194,7 +194,31 @@ def process_one(
     extract → gate → snippet-pass scrub on kept en/fr rows."""
     from . import quality as Q
 
-    extracted = TN.extract_text_from_html(html) if html is not None else (text or "")
+    try:
+        extracted = (TN.extract_text_from_html(html) if html is not None
+                     else (text or ""))
+    except Exception:
+        # D5 parity: run_pipeline captures per-row extraction failures in
+        # the UDF and folds them into drop_reason='error' rows
+        # (pipeline.py extract-error fold) — the executable-spec twin must
+        # emit the same row, not raise.
+        r = gate_one("", lang_scorer, ppl_scorer, strict_reject)
+        r.update(
+            gate_decision=C.DECISION_ERROR,
+            language="none",
+            probability=None,
+            detection_method=None,
+            keep=False,
+            drop_reason=C.DROP_ERROR,
+            gate_path=C.GATE_PATH_UNKNOWN,
+            pipeline_mode=C.PIPELINE_MODE_UNKNOWN,
+        )
+        r["quality_fail_reason"] = None
+        r["final_keep"] = False
+        r["scrubbed_text"] = ""
+        r["url"] = url
+        r["extracted_text"] = None
+        return r
     r = gate_one(extracted, lang_scorer, ppl_scorer, strict_reject)
     # Gopher/C4-style quality rules on the full document (north_star)
     q = Q.quality_one(extracted)

@@ -183,10 +183,12 @@ _DEFAULT = object()
 def run_pipeline(
     df: DataFrame,
     scorer: gate.Scorer | None = None,
+    scorer2: gate.Scorer | None = None,
     ppl_scorer: gate.Scorer | None = None,
     strict_reject: bool = C.ENFR_STRICT_REJECT,
     use_html: bool = True,
     persist_level=_DEFAULT,
+    carry_text: bool = False,
 ) -> DataFrame:
     """Input (input_hint schema) → one output row per document
     (FIXTURES.md §2 schema). ``lang`` (generator ground truth) is carried
@@ -196,7 +198,14 @@ def run_pipeline(
     scored frame for the decided/undecided split, and serialized-to-disk
     blocks ride the OS page cache instead of ballooning fresh JVM heap
     (measured 3.5× faster than MEMORY_AND_DISK on the bench corpus). Pass
-    None to recompute instead of caching."""
+    None to recompute instead of caching.
+
+    ``scorer2`` overrides the pass-2 (VAD-retry) scorer independently of
+    pass 1, mirroring gate.apply_gate (the reference's mocks return
+    different scores per call). ``carry_text`` adds the PROBE-bounded
+    extracted text as ``extracted_probe`` to the output — already
+    length-capped, so downstream consumers (curate's near-dup clustering)
+    reuse the single extraction pass instead of re-running the UDF."""
     from pyspark.storagelevel import StorageLevel
 
     if persist_level is _DEFAULT:
@@ -256,6 +265,7 @@ def run_pipeline(
         extracted,
         text_col="extracted",
         scorer=scorer,
+        scorer2=scorer2,
         ppl_scorer=ppl_scorer,
         strict_reject=strict_reject,
         persist_level=persist_level,
@@ -322,6 +332,8 @@ def run_pipeline(
     wants_snippet = (
         F.col("keep") & ~F.col("music_only") & F.col("language").isin("en", "fr")
     )
+    carry_cols = ([F.col("extracted").alias("extracted_probe")]
+                  if carry_text else [])
     return combined.select(
         *carried,
         F.col("language"),
@@ -336,6 +348,7 @@ def run_pipeline(
         F.col("quality_fail_reason"),
         (F.col("keep") & F.col("quality_fail_reason").isNull()).alias("final_keep"),
         score_meta_struct().alias("score_meta"),
+        *carry_cols,
     )
 
 

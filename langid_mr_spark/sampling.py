@@ -9,9 +9,10 @@ across reruns, repartitioning, AND engines (md5-prefix arithmetic has an
 exact DuckDB twin, like dedup.md5_long).
 
 Scale notes: hash_fraction is a stateless projection (no shuffle);
-stratified_cap is one shuffle on the group key (window rank) — the same
-cost as any per-group top-k; at 10^12 rows use it after a coarse
-hash_fraction pre-filter so the window input is already bounded.
+stratified_cap is a two-phase per-group top-N — a skew-spread shuffle on
+(group, partition-id) that keeps ≤ N rows per (group, partition), then a
+per-group window over the bounded ≤ N·P candidates — so a 2-language cap
+over 10¹² rows never funnels the corpus through 2 reducers.
 """
 
 from __future__ import annotations
@@ -42,11 +43,28 @@ def stratified_cap(df: DataFrame, group_cols: list[str], n_per_group: int,
                    key_col: str, salt: str = "") -> DataFrame:
     """At most ``n_per_group`` rows per group, chosen by hash order (a
     deterministic uniform draw, not "first N encountered"), ties broken by
-    the key itself. One shuffle on the group columns."""
-    w = Window.partitionBy(*group_cols).orderBy(
-        hash_fraction(F.col(key_col), salt).asc(), F.col(key_col).asc())
+    the key itself.
+
+    Two-phase per-group top-N so low-cardinality groups never funnel the
+    whole corpus through one reducer (a per-language cap at web scale has
+    ~10² groups over 10¹² rows — a single window per group would be a
+    2-partition shuffle of everything). Phase 1 windows over
+    (group, input-partition id): the shuffle key carries the partition id,
+    spreading each group over every input partition's worth of reducers,
+    and keeps only the per-partition top-N — a superset of the global
+    top-N members from that partition. Phase 2 runs the global window per
+    group over the bounded ≤ N·P candidates. Same order key both phases,
+    so the result is IDENTICAL to the single-window semantics (and to the
+    DuckDB oracle)."""
+    order = [hash_fraction(F.col(key_col), salt).asc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(*group_cols, "_pid").orderBy(*order)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        df.withColumn("_rank", F.row_number().over(w))
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n_per_group)
+        .drop("_pid", "_r1")
+        .withColumn("_rank", F.row_number().over(w2))
         .filter(F.col("_rank") <= n_per_group)
         .drop("_rank")
     )

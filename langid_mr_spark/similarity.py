@@ -107,17 +107,24 @@ def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     ``dim`` MUST equal the embedding length: zip_with pads a shorter
     hyperplane with NULLs, which nulls the projection and silently collapses
     every vector into bucket 0 (brute force). Multiprobe explodes each query
-    to its bucket plus the ``planes`` buckets one bit-flip away — a vector
-    has exactly one bucket, so no probe can match a pair twice."""
+    to every bucket within Hamming distance ``probe_bits`` of its own —
+    sum(C(planes, i) for i ≤ probe_bits) probes per query (enumerated via
+    bit-flip combinations, so probe_bits=2 really probes 2-bit flips) — a
+    vector has exactly one bucket, so no probe can match a pair twice."""
+    from itertools import combinations
+
+    if not 0 <= probe_bits <= planes:
+        raise ValueError(
+            f"probe_bits must be in [0, planes={planes}], got {probe_bits}")
     v = vectors.withColumn("_bucket", lsh_signature(F.col(vec_col), dim, planes))
     q = queries.withColumn("_qbucket", lsh_signature(F.col(qvec_col), dim, planes))
-    if probe_bits >= 1:
-        probes = F.array(
-            F.col("_qbucket"),
-            *[F.col("_qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(planes)],
-        )
-    else:
-        probes = F.array(F.col("_qbucket"))
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, probe_bits + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    probes = F.array(
+        *[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks])
     q = q.select("*", F.explode(probes).alias("_bucket")).drop("_qbucket")
     joined = v.join(F.broadcast(q), "_bucket").select(
         F.col(qid_col),

@@ -62,47 +62,61 @@ def streaming_exact_dedup(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    schema: str = INPUT_SCHEMA,
+    id_col: str = "url",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("warc_ts",),
 ) -> None:
     """Cross-micro-batch EXACT dedup via ``applyInPandasWithState``: a
     document whose content hash was seen in ANY earlier micro-batch (or
-    earlier in this one) is flagged a duplicate of the first-seen url.
+    earlier in this one) is flagged a duplicate of the first-seen id.
 
     This is the streaming face of dedup.exact_duplicates — the state store
     is partitioned by the hash key, so at 10^12 documents each executor
     holds one shard of the seen-set and a new batch costs one shuffle on
     the hash (exactly the batch operator's cost) plus state lookups.
-    State per key is a single (url, batch_id) record, restored from the
+    State per key is a single (id, batch_id) record, restored from the
     checkpoint across restarts (Trigger.AvailableNow drains then stops,
     like incremental_run). Within one batch the canonical row is the
-    min(url) for determinism."""
+    min(id) for determinism — so a single-drain replay over a whole corpus
+    is frame-equal to the batch operator (asserted by
+    tests/test_streaming.py and the ``streaming_dedup_replay`` contract
+    query); across separate drains the earlier-seen id stays canonical
+    (first-seen-wins, the incremental semantics)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = (
-        spark.readStream.schema(INPUT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
-        .withColumn("h", F.md5(F.coalesce(F.col("text"), F.lit(""))))
-        .select("h", "url", "warc_ts")
+        .withColumn("h", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        .select("h", id_col, *carry_cols)
     )
 
-    out_type = ("h string, url string, warc_ts timestamp, "
-                "is_duplicate boolean, canonical_url string")
-    state_type = "first_url string, first_batch long"
+    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_type = (
+        f"h string, {id_col} {types[id_col]}, "
+        + "".join(f"{c} {types[c]}, " for c in carry_cols)
+        + f"is_duplicate boolean, canonical_{id_col} {types[id_col]}"
+    )
+    state_type = f"first_id {types[id_col]}, first_batch long"
 
     def dedup_group(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("url", kind="mergesort")
+        rows = rows.sort_values(id_col, kind="mergesort")
         if state.exists:
             canonical, batch_no = state.get
             dup_mask = [True] * len(rows)
         else:
-            canonical = rows["url"].iloc[0]
+            canonical = rows[id_col].iloc[0]
+            if hasattr(canonical, "item"):  # numpy scalar → plain python
+                canonical = canonical.item()
             batch_no = 0
-            dup_mask = [u != canonical for u in rows["url"]]
+            dup_mask = [u != canonical for u in rows[id_col]]
             state.update((canonical, batch_no))
         rows["is_duplicate"] = dup_mask
-        rows["canonical_url"] = canonical
+        rows[f"canonical_{id_col}"] = canonical
         yield rows
 
     deduped = stream.groupBy("h").applyInPandasWithState(

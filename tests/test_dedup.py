@@ -136,6 +136,53 @@ def test_duplicate_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
 
 
+def test_jaccard_topk_lsh_recall_vs_exact(spark):
+    """The scale path for global top-k similarity (banded-LSH candidates →
+    exact Jaccard → TakeOrderedAndProject) must recover the exact all-pairs
+    top-k on a real corpus — the measured-recall companion the all-pairs
+    verifier exists to calibrate."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 20
+    exact = [(r["id_a"], r["id_b"]) for r in
+             dedup.jaccard_pairs(docs)
+             .orderBy(F.desc("j"), "id_a", "id_b").limit(k).collect()]
+    approx = {(r["id_a"], r["id_b"]) for r in
+              dedup.jaccard_topk_lsh(docs, k=k).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    print(f"jaccard_topk_lsh recall@{k} = {recall:.3f}")
+    assert recall >= 0.8
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A chain of diameter 40 — far beyond the old fixed-8-round
+    propagation — converges via pointer doubling (O(log d) rounds) and
+    collapses to one canonical id. Guards the silent-split regression."""
+    from langid_mr_spark import dedup as _dd
+
+    n = 41  # path graph 0-1-2-...-40, diameter 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in _dd.duplicate_clusters(pairs, ids, max_rounds=8).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """If labels are still changing at the round cap the function must
+    raise, never silently return split clusters."""
+    import pytest as _pytest
+
+    from langid_mr_spark import dedup as _dd
+
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        _dd.duplicate_clusters(pairs, ids, max_rounds=2)
+
+
 def test_winnowing_guarantee_shared_block(spark):
     """Winnowing guarantee: two documents sharing a substring of length
     >= k + w - 1 share at least one fingerprint; unrelated documents with

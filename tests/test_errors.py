@@ -143,6 +143,20 @@ def test_extract_udf_captures_per_row_poison():
     assert "AttributeError" in out["error"][1] or "Error" in out["error"][1]
 
 
+def test_oracle_process_one_extract_error_row():
+    """D5 parity (twin side): a payload the extractor cannot process makes
+    process_one return an error ROW mirroring the pipeline's extract-error
+    fold — never an exception."""
+    r = oracle.process_one("u1", html=12345, text=None)  # non-bytes payload
+    assert r["gate_decision"] == C.DECISION_ERROR
+    assert r["keep"] is False and r["final_keep"] is False
+    assert r["drop_reason"] == C.DROP_ERROR
+    assert r["language"] == "none" and r["probability"] is None
+    assert r["gate_path"] == C.GATE_PATH_UNKNOWN
+    assert r["pipeline_mode"] == C.PIPELINE_MODE_UNKNOWN
+    assert r["scrubbed_text"] == ""
+
+
 def test_pipeline_errors_counted_and_isolated(spark):
     df = fixtures.corpus_df(spark, 40)
     df = df.withColumn(

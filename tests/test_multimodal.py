@@ -50,11 +50,145 @@ def test_extract_features_shape_and_determinism(frame):
         assert out1[i] == pytest.approx(MM.fake_features(payload))
 
 
-def test_decode_image_is_honest_stub(frame):
-    with pytest.raises(Exception) as exc_info:
-        MM.decode_image(frame).collect()
-    assert "NotImplementedError" in str(exc_info.value) or \
-        isinstance(exc_info.value, NotImplementedError)
+# --- real pixel decode (golden bytes) ---------------------------------------
+
+def _encode_png(pixels, w, h, nch, filters):
+    """Minimal PNG encoder for golden-byte tests: applies the given filter
+    per scanline (forward transform of RFC 2083 §6) so decode exercises
+    every unfilter path."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    raw = bytearray()
+    prev = bytes(stride)
+    for row in range(h):
+        cur = pixels[row * stride:(row + 1) * stride]
+        f = filters[row % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                v = cur[i]
+            elif f == 1:
+                v = (cur[i] - a) & 0xFF
+            elif f == 2:
+                v = (cur[i] - b) & 0xFF
+            elif f == 3:
+                v = (cur[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (cur[i] - pr) & 0xFF
+            raw.append(v)
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _encode_bmp(pixels_rgb, w, h):
+    """Bottom-up 24-bit BMP with 4-byte row alignment."""
+    import struct
+
+    rowsz = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            rgb = pixels_rgb[(r * w + x) * 3:(r * w + x) * 3 + 3]
+            row += bytes((rgb[2], rgb[1], rgb[0]))  # BGR
+        row += b"\x00" * (rowsz - len(row))
+        body += row
+    off = 54
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return bytes(hdr + body)
+
+
+def _test_pixels(w, h, nch):
+    return bytes(((x * 7 + y * 13 + c * 29) & 0xFF)
+                 for y in range(h) for x in range(w) for c in range(nch))
+
+
+def test_png_decode_all_filters_golden():
+    w, h, nch = 5, 10, 3
+    px = _test_pixels(w, h, nch)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        gw, gh, gc, got = MM.decode_pixels(
+            _encode_png(px, w, h, nch, filters))
+        assert (gw, gh, gc) == (w, h, nch)
+        assert got == px, f"filters {filters}"
+    # grayscale / RGBA channel counts
+    for nch2 in (1, 2, 4):
+        px2 = _test_pixels(4, 3, nch2)
+        assert MM.decode_pixels(
+            _encode_png(px2, 4, 3, nch2, [4]))[3] == px2
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    # 2×2 paletted image: indices 0..3 → palette entries
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    raw = bytes((0, 0, 1, 0, 2, 3))  # filter0 rows: [0,1], [2,3]
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    w, h, c, px = MM.decode_pixels(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert px == bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+
+
+def test_bmp_and_ppm_decode_golden():
+    w, h = 3, 2
+    px = _test_pixels(w, h, 3)
+    assert MM.decode_pixels(_encode_bmp(px, w, h)) == (w, h, 3, px)
+    ppm = b"P6\n" + f"{w} {h}\n255\n".encode() + px
+    assert MM.decode_pixels(ppm) == (w, h, 3, px)
+
+
+def test_decode_image_dataframe_mixed(spark):
+    """Real decodes, codec-bound stubs, and poison rows all land as ROWS."""
+    px = _test_pixels(4, 4, 3)
+    rows = [
+        (0, _encode_png(px, 4, 4, 3, [0, 1, 2, 4])),
+        (1, _encode_bmp(px, 4, 4)),
+        (2, b"P6\n4 4\n255\n" + px),
+        (3, bytes.fromhex("ffd8ffe0") + b"jpeg-body"),   # codec-bound
+        (4, b"\x89PNG\r\n\x1a\ntruncated"),              # poison
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in MM.decode_image(df).collect()}
+    for i in (0, 1, 2):
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) \
+            == (4, 4, 3)
+        assert bytes(got[i]["pixels"]) == px
+        assert got[i]["decode_error"] is None
+    assert "NotImplementedError" in got[3]["decode_error"]
+    assert got[4]["pixels"] is None and got[4]["decode_error"]
+    assert got[5]["decode_error"] is not None
+    assert len(got) == 6  # no dead tasks
 
 
 # --- real container-header decode -------------------------------------------

@@ -37,3 +37,31 @@ def test_stratified_cap_limits_each_group(spark):
     out2 = sampling.stratified_cap(df, ["lang"], 5, "url")
     assert ({r["url"] for r in out.collect()}
             == {r["url"] for r in out2.collect()})
+
+
+def test_stratified_cap_partition_independent(spark):
+    """The two-phase cap must select the SAME members regardless of how
+    the input is partitioned (phase 1's per-partition top-N is a superset
+    of each partition's global-top-N members, so phase 2 sees them all)."""
+    df = fixtures.corpus_df(spark, 300)
+    a = {r["url"] for r in
+         sampling.stratified_cap(df.repartition(1), ["lang"], 5, "url")
+         .select("url").collect()}
+    b = {r["url"] for r in
+         sampling.stratified_cap(df.repartition(13), ["lang"], 5, "url")
+         .select("url").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stratified_cap_spreads_group_skew(spark):
+    """Phase 1's shuffle key must include the input-partition id so a
+    2-group corpus is NOT funneled through 2 reducers: the physical plan's
+    first window Exchange hashes on (group, _pid)."""
+    df = fixtures.corpus_df(spark, 100, num_partitions=8)
+    two_group = df.withColumn("lang", F.col("lang").isin("en").cast("string"))
+    plan = (sampling.stratified_cap(two_group, ["lang"], 3, "url")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "_pid" in plan
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_pid" in p and "lang" in p for p in parts), parts

@@ -104,6 +104,28 @@ def test_lsh_recall(frames):
             assert r["sim"] == exact_sims[key]
 
 
+def test_lsh_multiprobe_widens_with_probe_bits(frames):
+    """probe_bits must genuinely enumerate Hamming-≤b probes: raising it
+    can only widen the candidate set (monotone recall), and probing every
+    bit (probe_bits=planes) covers all 2^planes buckets → exact top-k."""
+    import pytest as _pytest
+
+    v, q = frames
+    planes = 4
+
+    def pairs(pb):
+        return {(r["qid"], r["vec_id"]) for r in similarity.lsh_bucket_topk(
+            v, q, k=5, dim=DIM, planes=planes, probe_bits=pb).collect()}
+
+    exact = {(r["qid"], r["vec_id"])
+             for r in similarity.cosine_topk(v, q, k=5).collect()}
+    p1, p2, pall = pairs(1), pairs(2), pairs(planes)
+    assert pall == exact  # full probe = brute force
+    assert len(p1 & exact) <= len(p2 & exact) <= len(pall & exact)
+    with _pytest.raises(ValueError, match="probe_bits"):
+        similarity.lsh_bucket_topk(v, q, planes=planes, probe_bits=5)
+
+
 def test_ivf_recall_and_exact_sims(frames):
     """IVF probing on the clustered fixture: probed-cell candidates must
     recover most exact neighbors, and every returned sim must equal the

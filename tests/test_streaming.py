@@ -44,6 +44,32 @@ def test_incremental_equals_batch(spark, tmp_path):
     assert sum(r["docs"] for r in w) == 90
 
 
+def test_streaming_dedup_single_drain_equals_batch(spark, tmp_path):
+    """Batch-replay parity: one AvailableNow drain over a whole corpus is
+    frame-equal to the batch operator dedup.exact_duplicates (same
+    canonical = min id per content hash, same duplicate flags)."""
+    from langid_mr_spark import dedup
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "pin")
+    df = fixtures.corpus_df(spark, 50)
+    dups = (df.filter(F.xxhash64("url") % 5 == 0)
+            .withColumn("url", F.concat(F.lit("dup://"), F.col("url"))))
+    df.unionByName(dups).coalesce(2).write.parquet(inp)
+
+    streaming.streaming_exact_dedup(
+        spark, inp, str(tmp_path / "pout"), str(tmp_path / "pckpt"))
+    got = (spark.read.parquet(str(tmp_path / "pout"))
+           .select("url", "is_duplicate", "canonical_url"))
+    want = (dedup.exact_duplicates(spark.read.parquet(inp),
+                                   id_col="url", text_col="text")
+            .select("url", "is_duplicate",
+                    F.col("canonical_id").alias("canonical_url")))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """Stateful cross-batch dedup: duplicates within a micro-batch AND
     against documents seen in earlier invocations are flagged, with the
