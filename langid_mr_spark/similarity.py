@@ -152,23 +152,25 @@ def _proj(col: Column, plane: list[float]) -> Column:
     )
 
 
-def ivf_cell(col: Column, dim: int, n_cells: int = 16) -> Column:
-    """Coarse-quantizer cell id: argmax dot against ``n_cells`` fixed anchor
+def ivf_cell(col: Column, dim: int, n_cells: int = 16,
+             anchors: list[list[float]] | None = None) -> Column:
+    """Coarse-quantizer cell id: argmax dot against ``n_cells`` anchor
     vectors (ties → lowest cell, matching DuckDB list_position semantics).
-    The anchors are deterministic pseudo-random (data-independent), which
-    keeps the DuckDB oracle exact; a production deployment would Lloyd-
-    iterate them on a sample — the query shape (assign → bucket join) is
-    identical either way."""
-    anchors = _hyperplanes(dim, n_cells)
+    Default anchors are deterministic pseudo-random (data-independent),
+    which keeps the DuckDB oracle exact; pass ``anchors`` (e.g. from
+    ``ivf_train``) for a Lloyd-refined quantizer — the query shape
+    (assign → bucket join) is identical either way."""
+    anchors = anchors if anchors is not None else _hyperplanes(dim, n_cells)
     dots = F.array(*[_proj(col, a) for a in anchors])
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_probe_cells(col: Column, dim: int, n_cells: int = 16,
-                    n_probe: int = 4) -> Column:
+                    n_probe: int = 4,
+                    anchors: list[list[float]] | None = None) -> Column:
     """Top-``n_probe`` cells by anchor dot (desc, ties → lower cell):
     sort struct<-dot, cell> ascending, slice, project the cell."""
-    anchors = _hyperplanes(dim, n_cells)
+    anchors = anchors if anchors is not None else _hyperplanes(dim, n_cells)
     entries = F.array(*[
         F.struct((-_proj(col, a)).alias("negdot"),
                  F.lit(c).cast("int").alias("cell"))
@@ -178,21 +180,67 @@ def ivf_probe_cells(col: Column, dim: int, n_cells: int = 16,
     return F.transform(ranked, lambda s: s.getField("cell"))
 
 
+def ivf_train(vectors: DataFrame, dim: int, n_cells: int = 16,
+              iters: int = 3, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              sample_fraction: float | None = None) -> list[list[float]]:
+    """Lloyd-refined IVF coarse quantizer (spherical k-means): start from
+    the fixed data-independent anchors, then ``iters`` rounds of
+    assign (the exact argmax-dot expression ivf_cell uses) →
+    per-cell mean → renormalize to unit length (spherical update — the
+    right centroid for cosine/IP search). Empty cells keep their previous
+    anchor.
+
+    Each round is ONE narrow aggregation over the (optionally
+    hash-sampled) corpus: groupBy(cell).agg(dim column sums + count) —
+    n_cells × dim doubles to the driver, the bounded "model" state (the
+    one collect() a training step legitimately makes). At 10^12 vectors
+    train on a hash_fraction sample — the assignment expression the
+    queries use is identical, so serving needs no retraining."""
+    import math
+
+    from . import sampling as _smp
+
+    v = vectors.select(F.col(id_col).alias("id"),
+                       _to_double(F.col(vec_col)).alias("v"))
+    if sample_fraction is not None:
+        v = v.filter(
+            _smp.hash_fraction(F.col("id"), "ivf_train") < sample_fraction)
+    anchors = [list(a) for a in _hyperplanes(dim, n_cells)]
+    for _ in range(iters):
+        cell = ivf_cell(F.col("v"), dim, n_cells, anchors=anchors)
+        agg = v.groupBy(cell.alias("cell")).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        new = [list(a) for a in anchors]
+        for r in agg:
+            mean = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in mean)) or 1.0
+            new[r["cell"]] = [x / norm for x in mean]
+        anchors = new
+    return anchors
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              dim: int = 64, n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             anchors: list[list[float]] | None = None) -> DataFrame:
     """IVF-flat ANN: every vector lives in exactly one coarse cell; a query
     scores only the vectors in its ``n_probe`` nearest cells. At 10^12
     vectors the index is one partitioned column (cell) — raise n_cells with
     corpus size so cells stay bounded, n_probe trades recall for cost.
     Candidates are scored with the exact sequential-sum cosine, so results
     are bit-replicable (the DuckDB oracle replays anchors, assignment,
-    probing, and scoring)."""
-    v = vectors.withColumn("_cell", ivf_cell(F.col(vec_col), dim, n_cells))
+    probing, and scoring). Pass ``anchors`` from ``ivf_train`` for a
+    Lloyd-refined cell layout (better-balanced cells on clustered data)."""
+    v = vectors.withColumn(
+        "_cell", ivf_cell(F.col(vec_col), dim, n_cells, anchors=anchors))
     q = (queries
          .withColumn("_probes",
-                     ivf_probe_cells(F.col(qvec_col), dim, n_cells, n_probe))
+                     ivf_probe_cells(F.col(qvec_col), dim, n_cells, n_probe,
+                                     anchors=anchors))
          .select("*", F.explode("_probes").alias("_cell"))
          .drop("_probes"))
     joined = v.join(F.broadcast(q), "_cell").select(

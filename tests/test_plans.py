@@ -55,6 +55,19 @@ def test_topk_no_full_sort(spark):
     assert "TakeOrderedAndProject" in plan_of(df)
 
 
+def test_jaccard_topk_scale_plan(spark):
+    """The global top-k scale path must be TakeOrderedAndProject over the
+    LSH candidate join — per-partition heaps, no full sort, no cartesian
+    all-pairs anywhere in the plan."""
+    from langid_mr_spark import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup.jaccard_topk_lsh(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_staged_cascade_udf_count(spark):
     """The pipeline plan must contain exactly 4 ArrowEvalPython nodes:
     extraction, pass-1 scorer, pass-2 scorer (undecided only), ppl scorer

