@@ -486,6 +486,22 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (sampling.pack_shards): greedy sequential
+    packing in deterministic hash order via a distributed two-pass prefix
+    sum (range partition → local window → bounded per-partition offsets) —
+    the step that turns a curated corpus into fixed-size training shards.
+    The DuckDB oracle is the plain global window the two-pass recipe
+    replaces: SUM OVER (ORDER BY hash, id)."""
+    from langid_mr_spark import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    d = docs.select("doc_id", toks.alias("n_tokens"))
+    out = SMP.pack_shards(d, 2000, "doc_id", "n_tokens")
+    return out.select("doc_id", "n_tokens", "shard_id").orderBy("doc_id")
+
+
 def q_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible slice of the curation composition (curate.py):
     quality rules → exact-dedup canonical (chosen among quality survivors)
@@ -826,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "curation_rollup": q_curation_rollup,
         "curation_full_oracle": q_curation_full_oracle,
+        "shard_packing": q_shard_packing,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "quality_flags": q_quality_flags,
         "bpe_token_count": q_bpe_token_count,
@@ -1571,6 +1588,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curation_rollup": _curation_rollup_sql(),
         "curation_full_oracle": _curation_full_sql(),
+        "shard_packing": (
+            "WITH tt AS (SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens, "
+            f"{_H15.format(x='doc_id::VARCHAR')} / {float(1 << 60)!r} "
+            "AS ord FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+            "(ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS run "
+            "FROM tt) "
+            "SELECT doc_id, n_tokens, "
+            "((run - n_tokens) // 2000)::INT AS shard_id "
+            "FROM s ORDER BY doc_id"),
         "streaming_dedup_replay": (
             "SELECT md5(coalesce(text, '')) AS h, doc_id, lang, "
             "doc_id <> min(doc_id) OVER "

@@ -39,6 +39,53 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     return df.filter(hash_fraction(F.col(key_col), salt) < fraction)
 
 
+def pack_shards(df: DataFrame, token_budget: int, key_col: str,
+                token_col: str, salt: str = "",
+                num_partitions: int | None = None) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-token-budget
+    training shards: documents are laid out in deterministic hash order
+    (the same engine-stable order the sampler and cap use, ties broken by
+    the key) and each document goes to the shard its starting token offset
+    falls in — ``shard_id = exclusive_prefix_sum(tokens) div budget``.
+    The assignment is a pure function of the data: identical across
+    reruns, repartitioning, and engines.
+
+    Scalable distributed prefix sum (NO single global window): rows are
+    range-partitioned on the order key, each partition computes its local
+    running sum with a window over its own partition id, and the bounded
+    per-partition totals (one row per partition) are collected once and
+    broadcast back as exclusive offsets — the classic two-pass prefix-sum
+    recipe. The range-partitioned frame is localCheckpointed so the
+    totals pass and the final pass read one materialization. Range
+    boundaries don't affect the OUTPUT (the global prefix sum is the same
+    wherever partitions split), only the parallelism."""
+    spark = df.sparkSession
+    order = hash_fraction(F.col(key_col), salt)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.withColumn("_ord", order)
+         .repartitionByRange(n, F.col("_ord"), F.col(key_col))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint(eager=True))
+    totals = {r["_pid"]: r["t"] for r in
+              d.groupBy("_pid").agg(F.sum(token_col).alias("t")).collect()}
+    if not totals:
+        return df.withColumn("shard_id", F.lit(0))
+    offsets, acc = {}, 0
+    for pid in sorted(totals):  # range partitions are globally ordered
+        offsets[pid] = acc
+        acc += totals[pid]
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_ord").asc(), F.col(key_col).asc())
+    run = F.sum(F.col(token_col)).over(w)
+    excl = mapping[F.col("_pid")] + run - F.col(token_col)
+    # decimal division: exact integral floor-div beyond double's 2^53
+    shard = F.floor(excl.cast("decimal(30,0)")
+                    / F.lit(token_budget)).cast("int")
+    return d.withColumn("shard_id", shard).drop("_ord", "_pid")
+
+
 def stratified_cap(df: DataFrame, group_cols: list[str], n_per_group: int,
                    key_col: str, salt: str = "") -> DataFrame:
     """At most ``n_per_group`` rows per group, chosen by hash order (a

@@ -53,6 +53,38 @@ def test_stratified_cap_partition_independent(spark):
     assert a == b and len(a) > 0
 
 
+def test_pack_shards_invariants_and_partition_independence(spark):
+    """Greedy token-budget packing: each document's shard is the one its
+    exclusive prefix offset falls in (so per-shard starting offsets fit in
+    [k·B, (k+1)·B)), shards are contiguous in hash order, and the
+    assignment is identical regardless of input partitioning (the two-pass
+    prefix sum replaces a global window without changing the result)."""
+    rows = [(f"doc{i:03d}", 50 + (i * 37) % 400) for i in range(80)]
+    df = spark.createDataFrame(rows, "key string, n_tokens long")
+    budget = 1000
+
+    out = {r["key"]: r for r in
+           sampling.pack_shards(df, budget, "key", "n_tokens").collect()}
+    # python twin: same hash order, same exclusive prefix
+    hf = {k: int(hashlib_md5_long(k)) for k, _ in rows}
+    ordered = sorted(rows, key=lambda kv: (hf[kv[0]], kv[0]))
+    run = 0
+    for k, n in ordered:
+        assert out[k]["shard_id"] == run // budget, k
+        run += n
+
+    for parts in (1, 7):
+        again = {r["key"]: r["shard_id"] for r in sampling.pack_shards(
+            df.repartition(parts), budget, "key", "n_tokens").collect()}
+        assert again == {k: r["shard_id"] for k, r in out.items()}
+
+
+def hashlib_md5_long(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
 def test_stratified_cap_spreads_group_skew(spark):
     """Phase 1's shuffle key must include the input-partition id so a
     2-group corpus is NOT funneled through 2 reducers: the physical plan's
