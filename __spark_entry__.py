@@ -360,6 +360,18 @@ def q_jaccard_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_topk_lsh(docs, k=20)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_flags): corpus docs
+    sharing ≥1 distinct 5-gram with the 'benchmark' set (here: the first 5
+    documents stand in for an eval set). Eval n-grams broadcast; the corpus
+    is never shuffled. Self-pairs excluded (shared id space fixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 5)
+    return (DD.contamination_flags(docs, eval_df, n=5, min_shared=1)
+            .filter(F.col("id") != F.col("eval_id"))
+            .orderBy("id", "eval_id"))
+
+
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 minhash signature values per doc (md5-based, 31-bit space)."""
     docs = _t(spark, sf_dir, "documents")
@@ -829,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "jaccard_topk_scale": q_jaccard_topk_scale,
+        "contamination": q_contamination,
         "minhash_sig": q_minhash_sig,
         "near_dup_pairs": q_near_dup_pairs,
         "winnow_pairs": q_winnow_pairs,
@@ -1419,6 +1432,19 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_topk_scale": (
             f"WITH {_near_dup_ctes()} SELECT id_a, id_b, j FROM v "
             "ORDER BY j DESC, id_a, id_b LIMIT 20"),
+        "contamination": (
+            f"WITH t AS ({_TOKS_CTE}), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "list_distinct(list_transform(range(1, len(toks) - 3), "
+            "i -> array_to_string(toks[i:i+4], ' '))) "
+            "ELSE []::VARCHAR[] END AS sh FROM t), "
+            "cg AS (SELECT doc_id AS id, unnest(sh) AS g FROM s), "
+            "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s "
+            "WHERE doc_id < 5) "
+            "SELECT id, eval_id, count(*) AS shared "
+            "FROM cg JOIN ev USING (g) WHERE id <> eval_id "
+            "GROUP BY id, eval_id HAVING count(*) >= 1 "
+            "ORDER BY id, eval_id"),
         "dup_clusters": _dup_clusters_sql(),
         "winnow_pairs": _winnow_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

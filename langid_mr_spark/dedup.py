@@ -186,6 +186,37 @@ def jaccard_topk_lsh(df: DataFrame, k: int = 20, id_col: str = "doc_id",
     )
 
 
+def contamination_flags(corpus: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_id_col: str = "doc_id",
+                        eval_text_col: str = "text",
+                        n: int = 8, min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: (id, eval_id, shared) for every corpus
+    document sharing ≥ ``min_shared`` distinct token ``n``-grams with an
+    eval/benchmark document — the standard n-gram-overlap contamination
+    check a training pipeline runs before shipping a corpus.
+
+    The eval side is small (benchmarks are KBs–MBs), so its exploded
+    n-gram set BROADCASTS: the corpus side explodes its n-grams in place
+    and the join is broadcast-hash — the corpus is never shuffled, cost is
+    one scan however many documents there are. Shingles are distinct per
+    document on both sides, so ``shared`` = |n-gram intersection|."""
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    e = eval_df.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingles(F.col(eval_text_col), n)).alias("g"),
+    )
+    return (
+        c.join(F.broadcast(e), "g")
+        .groupBy("id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 # --- incremental dedup against a persistent signature store -------------------------
 
 def banded_signatures(df: DataFrame, id_col: str = "doc_id",

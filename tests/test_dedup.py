@@ -136,6 +136,29 @@ def test_duplicate_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
 
 
+def test_contamination_flags(spark):
+    """Decontamination: a corpus doc sharing an n-gram block with an eval
+    doc is flagged with the exact distinct-n-gram intersection count;
+    clean docs are absent; the eval side broadcasts (plan check)."""
+    block = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"intro words here {block} and trailing content"),   # contaminated
+        (1, "totally different text with no overlap at all ok"), # clean
+        (2, block),                                              # the eval doc's text
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, block)],
+                                    "doc_id long, text string")
+    out = dedup.contamination_flags(corpus, eval_df, n=5)
+    got = {(r["id"], r["eval_id"]): r["shared"] for r in out.collect()}
+    n_block_grams = len(block.split()) - 4  # 8 tokens → 4 distinct 5-grams
+    assert got[(0, 100)] == n_block_grams
+    assert got[(2, 100)] == n_block_grams
+    assert not any(i == 1 for i, _ in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_jaccard_topk_lsh_recall_vs_exact(spark):
     """The scale path for global top-k similarity (banded-LSH candidates →
     exact Jaccard → TakeOrderedAndProject) must recover the exact all-pairs
