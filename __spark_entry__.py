@@ -118,6 +118,36 @@ def q_gate_decisions_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational operator families (SURVEY §2.2 / §2.6) — DuckDB-oracled
 # ---------------------------------------------------------------------------
 
+def q_translation_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 hook value-checked end-to-end: the full gate cascade (injected
+    SQL-expressible scorers) feeds translate.apply_translation with an
+    injected CONCAT-MARKER translator (``src->tgt:text`` — byte-exact in
+    any engine), translating the snippet of each eligible row. Checks the
+    eligibility predicate (runner.py:145-151), the per-source-language
+    batch grouping inside the iterator UDF, and the masking of ineligible
+    rows — against a DuckDB replica composed of the green gate chain and
+    snippet SQL."""
+    from langid_mr_spark import translate as TR
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = gate.apply_gate(
+        docs, text_col="text",
+        scorer=_make_heuristic_scorer(_SCORER1_MULT),
+        scorer2=_make_heuristic_scorer(_SCORER2_MULT),
+        ppl_scorer=_heuristic_ppl_scorer,
+        persist_level=None,
+    ).withColumn("snip", X.snippet_first_words(F.col("text"), 10))
+    out = TR.apply_translation(
+        gated, target_lang="fr",
+        translator=lambda ts, s, t: [f"{s}->{t}:{x}" for x in ts],
+        text_col="snip", lang_col="language", music_only_col="music_only",
+    )
+    return out.select(
+        "doc_id", "language", "keep", "music_only", "snip",
+        "translated", "target_lang", "translated_text",
+    ).orderBy("doc_id")
+
+
 def q_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (main.py:262-265): one-pass count per status."""
     return (
@@ -820,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_decisions": q_gate_decisions,       # rows-only (model UDFs)
         "gate_decisions_oracle": q_gate_decisions_oracle,
+        "translation_oracle": q_translation_oracle,
         "count_by_status": q_count_by_status,
         "recent_window_count": q_recent_window_count,
         "top50_avg": q_top50_avg,
@@ -1614,6 +1645,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curation_rollup": _curation_rollup_sql(),
         "curation_full_oracle": _curation_full_sql(),
+        "translation_oracle": (
+            "WITH d0 AS (SELECT doc_id, substr(coalesce(text, ''), 1, "
+            f"{C.PROBE_CHARS}) AS probe FROM documents), "
+            f"{_gate_chain_ctes()}, "
+            "sn AS (SELECT doc_id, array_to_string(list_filter("
+            f"regexp_split_to_array(text, '{_WS_RE}'), x -> x <> '')[1:10], "
+            "' ') AS snip FROM documents), "
+            "el AS (SELECT g.doc_id, g.language, g.keep, g.music_only, "
+            "s.snip, (g.keep AND NOT g.music_only AND g.language IN "
+            "('en', 'fr') AND g.language <> 'fr') AS translated "
+            "FROM gate_out g JOIN sn s USING (doc_id)) "
+            "SELECT doc_id, language, keep, music_only, snip, translated, "
+            "CASE WHEN translated THEN 'fr' END AS target_lang, "
+            "CASE WHEN translated THEN language || '->fr:' || snip END "
+            "AS translated_text FROM el ORDER BY doc_id"),
         "shard_packing": (
             "WITH tt AS (SELECT doc_id, "
             f"len(regexp_extract_all(text, '{_BPE_RE}')) AS n_tokens, "
