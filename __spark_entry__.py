@@ -392,12 +392,12 @@ def q_jaccard_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (dedup.contamination_flags): corpus docs
-    sharing ≥1 distinct 5-gram with the 'benchmark' set (here: the first 5
+    sharing ≥1 distinct 4-gram with the 'benchmark' set (here: the first 5
     documents stand in for an eval set). Eval n-grams broadcast; the corpus
     is never shuffled. Self-pairs excluded (shared id space fixture)."""
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") < 5)
-    return (DD.contamination_flags(docs, eval_df, n=5, min_shared=1)
+    return (DD.contamination_flags(docs, eval_df, n=4, min_shared=1)
             .filter(F.col("id") != F.col("eval_id"))
             .orderBy("id", "eval_id"))
 
@@ -1465,9 +1465,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY j DESC, id_a, id_b LIMIT 20"),
         "contamination": (
             f"WITH t AS ({_TOKS_CTE}), "
-            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
-            "list_distinct(list_transform(range(1, len(toks) - 3), "
-            "i -> array_to_string(toks[i:i+4], ' '))) "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 4 THEN "
+            "list_distinct(list_transform(range(1, len(toks) - 2), "
+            "i -> array_to_string(toks[i:i+3], ' '))) "
             "ELSE []::VARCHAR[] END AS sh FROM t), "
             "cg AS (SELECT doc_id AS id, unnest(sh) AS g FROM s), "
             "ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s "
