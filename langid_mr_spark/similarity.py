@@ -201,8 +201,8 @@ def ivf_train(vectors: DataFrame, dim: int, n_cells: int = 16,
 
     from . import sampling as _smp
 
-    v = vectors.select(F.col(id_col).alias("id"),
-                       _to_double(F.col(vec_col)).alias("v"))
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     if sample_fraction is not None:
         v = v.filter(
             _smp.hash_fraction(F.col("id"), "ivf_train") < sample_fraction)
