@@ -190,7 +190,9 @@ def contamination_flags(corpus: DataFrame, eval_df: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         eval_id_col: str = "doc_id",
                         eval_text_col: str = "text",
-                        n: int = 8, min_shared: int = 1) -> DataFrame:
+                        n: int = 8, min_shared: int = 1,
+                        broadcast_ngram_limit: int | None = 10_000_000,
+                        ) -> DataFrame:
     """Benchmark decontamination: (id, eval_id, shared) for every corpus
     document sharing ≥ ``min_shared`` distinct token ``n``-grams with an
     eval/benchmark document — the standard n-gram-overlap contamination
@@ -200,7 +202,14 @@ def contamination_flags(corpus: DataFrame, eval_df: DataFrame,
     n-gram set BROADCASTS: the corpus side explodes its n-grams in place
     and the join is broadcast-hash — the corpus is never shuffled, cost is
     one scan however many documents there are. Shingles are distinct per
-    document on both sides, so ``shared`` = |n-gram intersection|."""
+    document on both sides, so ``shared`` = |n-gram intersection|.
+
+    ``broadcast_ngram_limit`` guards the broadcast precondition: the eval
+    n-gram count is checked (one cheap count over the small side) and an
+    oversized eval set raises with instructions rather than OOMing every
+    executor mid-job. Pass ``None`` to skip the count and take the
+    shuffle-join fallback (no broadcast hint; the corpus n-grams shuffle
+    on ``g`` — correct at any eval size, one extra exchange)."""
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("g"),
@@ -209,8 +218,18 @@ def contamination_flags(corpus: DataFrame, eval_df: DataFrame,
         F.col(eval_id_col).alias("eval_id"),
         F.explode(shingles(F.col(eval_text_col), n)).alias("g"),
     )
+    if broadcast_ngram_limit is not None:
+        n_eval_grams = e.count()
+        if n_eval_grams > broadcast_ngram_limit:
+            raise ValueError(
+                f"eval side explodes to {n_eval_grams} n-grams, over the "
+                f"broadcast limit ({broadcast_ngram_limit}); broadcasting "
+                "it would OOM executors. Pass broadcast_ngram_limit=None "
+                "to run the shuffle-join fallback (or raise the limit if "
+                "your executors have the memory)")
+        e = F.broadcast(e)
     return (
-        c.join(F.broadcast(e), "g")
+        c.join(e, "g")
         .groupBy("id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
@@ -231,6 +250,15 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
     rows = num_perm // bands
     sig = df.select(F.col(id_col).alias("id"),
                     minhash_signature(F.col(text_col), num_perm, n).alias("sig"))
+    # Skew guard (100-TB bomb): a document with fewer than n tokens has an
+    # EMPTY shingle set, so every signature element is the sentinel _MERSENNE
+    # and all such documents share identical (band, key) in ALL bands — the
+    # bucket-local pair join would then be O(m²) over the millions of
+    # near-empty pages a web corpus keeps via the C8 fallback. Dropping them
+    # from banding is semantics-free: an empty shingle set has Jaccard 0
+    # with everything, so no such pair can ever pass verification. (Every
+    # permuted hash is < _MERSENNE, so sig[0] == _MERSENNE iff empty.)
+    sig = sig.filter(F.col("sig")[0] != F.lit(_MERSENNE))
     return sig.select(
         "id",
         F.explode(
@@ -374,7 +402,10 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col("id"), F.col("id").alias("lab"))
-    for _ in range(max_rounds):
+    # max_rounds + 1: detection needs one zero-change round AFTER the
+    # fixpoint, so a graph converging exactly at round max_rounds gets the
+    # extra pass to prove it (raising there would be a spurious failure).
+    for _ in range(max_rounds + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy(F.col("src").alias("id"))
@@ -425,22 +456,35 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
-    """Per-document ``bits``-bit SimHash, purely relational: explode tokens
-    (multiset — occurrences weight the vote), hash each token, per-bit sign
-    vote via groupBy-sum, assemble the fingerprint. One shuffle on id."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(X.tokenize(F.col(text_col))).alias("t"),
-    ).withColumn("h", md5_long(F.col("t")))
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select("id", fp.cast("long").alias("simhash"))
+    """Per-document ``bits``-bit SimHash as a PURE PROJECTION — zero shuffle.
+
+    SimHash is a per-document function, so no row ever needs to meet another
+    row: tokens (multiset — occurrences weight the vote) are hashed in place
+    with ``transform``, the per-bit sign votes accumulate in a
+    ``bits``-element array via ``aggregate`` + ``zip_with``, and the
+    fingerprint assembles from the vote signs — all inside one
+    WholeStageCodegen projection. (The previous explode→groupBy formulation
+    shuffled the corpus's entire token multiset for the same bit-identical
+    result — at 100 TB that shuffle IS the job.) Documents with zero tokens
+    emit no row, matching the explode semantics and the DuckDB oracle."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     X.tokenize(F.col(text_col)).alias("_t"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    hashes = F.transform(F.col("_t"), md5_long)
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0).cast("long") for _ in range(bits)]),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                              .otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (toks.filter(F.size("_t") > 0)
+            .select("id", fp.alias("simhash")))

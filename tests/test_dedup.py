@@ -231,3 +231,53 @@ def test_winnowing_guarantee_shared_block(spark):
     pairs = {(r["id_a"], r["id_b"]): r["shared"] for r in
              _dd.winnow_overlap_pairs(df, min_shared=1).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_empty_shingle_docs_generate_no_candidates(spark):
+    """The sentinel mega-bucket skew bomb (r3 verdict #1): ~100 sub-n-token
+    documents all minhash to the all-sentinel signature and would share one
+    (band, key) bucket in EVERY band — O(m²) candidate pairs at web scale.
+    banded_signatures must exclude them (semantics-free: empty-shingle
+    Jaccard ≡ 0 can never verify) while real near-dups still surface."""
+    rows = [(i, f"w{i} x{i}") for i in range(100)]   # 2 tokens < n=3
+    rows += [(200, ""), (201, "   ")]                # zero tokens
+    rows += [(300, BASE), (301, BASE)]               # a real dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert cands == {(300, 301)}
+    # the guard lives in banded_signatures, so every consumer inherits it
+    banded_ids = {r["id"] for r in dedup.banded_signatures(df).collect()}
+    assert banded_ids == {300, 301}
+
+
+def test_contamination_broadcast_guard(spark):
+    """Oversized eval sets must fail loudly BEFORE broadcasting (r3 verdict
+    #8); broadcast_ngram_limit=None takes the shuffle-join fallback with
+    identical results."""
+    corpus = spark.createDataFrame([(0, BASE), (1, "nothing in common")],
+                                   "doc_id long, text string")
+    ev = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="broadcast"):
+        dedup.contamination_flags(corpus, ev, n=3, broadcast_ngram_limit=2)
+    out = dedup.contamination_flags(corpus, ev, n=3,
+                                    broadcast_ngram_limit=None)
+    got = {(r["id"], r["eval_id"]): r["shared"] for r in out.collect()}
+    assert (0, 100) in got and got[(0, 100)] > 0
+    assert not any(i == 1 for i, _ in got)
+
+
+def test_duplicate_clusters_converges_exactly_at_round_cap(spark):
+    """A graph whose fixpoint lands exactly on round max_rounds must NOT
+    raise — detection gets one extra zero-change round (r3 advice). The
+    diameter-40 path needs exactly 5 doubling rounds (coverage 2^(r+1)-2:
+    round 4 reaches 30 < 40, round 5 reaches 62)."""
+    from langid_mr_spark import dedup as _dd
+
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in _dd.duplicate_clusters(pairs, ids, max_rounds=5).collect()}
+    assert got == {i: 0 for i in range(n)}

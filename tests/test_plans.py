@@ -121,3 +121,15 @@ def test_embedding_near_dups_is_bucket_join_not_nested_loop(spark):
     plan = plan_of(em.q_embedding_near_dups(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_is_pure_projection_no_shuffle(spark):
+    """SimHash is a per-document function (r3 verdict #2): the plan must be
+    one projection — no Exchange (the old explode→groupBy formulation
+    shuffled the corpus's whole token multiset for the same result)."""
+    from langid_mr_spark import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(dedup.simhash(docs))
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
