@@ -38,15 +38,19 @@ def curate(
     cluster representative), ``curated`` (final selected) — so one frame
     answers both "what is the training shard" (filter ``curated``) and
     "why was each document dropped" (drop_reason / quality_fail_reason /
-    canonical_url). Near-dup runs on the probe-bounded extracted text of
-    KEPT documents only (the gate already dropped the rest), keyed by url —
-    the text is CARRIED through run_pipeline (``carry_text``), so the whole
-    funnel pays exactly one extraction UDF pass.
+    canonical_url). Near-dup runs on the FULL extracted text of KEPT
+    documents only (the gate already dropped the rest), keyed by url — the
+    text is CARRIED through run_pipeline (``carry_text="full"``), so the
+    whole funnel pays exactly one extraction UDF pass. Full, not
+    probe-bounded (r3 advice): web corpora are thick with long pages that
+    share a multi-kB boilerplate/nav prefix but diverge after it — a
+    prefix-bounded shingle set would merge those into one cluster and
+    silently drop the non-canonical copies.
     """
-    gated = pipeline.run_pipeline(df, carry_text=True, **pipeline_kwargs)
+    gated = pipeline.run_pipeline(df, carry_text="full", **pipeline_kwargs)
 
     kept_text = gated.filter(F.col("final_keep")).select(
-        "url", F.col("extracted_probe").alias("_text"))
+        "url", F.col("extracted_full").alias("_text"))
 
     pairs = dedup.minhash_near_duplicates(
         kept_text, id_col="url", text_col="_text",
@@ -56,7 +60,8 @@ def curate(
     clusters = clusters.select(
         F.col("id").alias("url"), F.col("cluster_id").alias("canonical_url"))
 
-    out = gated.drop("extracted_probe").join(clusters, "url", "left")
+    out = (gated.drop("extracted_probe", "extracted_full")
+           .join(clusters, "url", "left"))
     out = out.withColumn(
         "is_canonical",
         F.col("final_keep") & (F.col("canonical_url") == F.col("url")))

@@ -202,10 +202,16 @@ def run_pipeline(
 
     ``scorer2`` overrides the pass-2 (VAD-retry) scorer independently of
     pass 1, mirroring gate.apply_gate (the reference's mocks return
-    different scores per call). ``carry_text`` adds the PROBE-bounded
+    different scores per call). ``carry_text=True`` adds the PROBE-bounded
     extracted text as ``extracted_probe`` to the output — already
-    length-capped, so downstream consumers (curate's near-dup clustering)
-    reuse the single extraction pass instead of re-running the UDF."""
+    length-capped, so downstream consumers reuse the single extraction
+    pass instead of re-running the UDF. ``carry_text="full"`` additionally
+    carries the UNBOUNDED extracted text as ``extracted_full`` — the
+    dedup-correct carry (near-dup over a 4k prefix would merge long
+    documents sharing boilerplate headers); it rides the cascade's
+    DISK_ONLY persist, so the persist grows from probe-bounded to
+    corpus-text-sized — the price of whole-document dedup, paid on disk,
+    not heap."""
     from pyspark.storagelevel import StorageLevel
 
     if persist_level is _DEFAULT:
@@ -255,9 +261,12 @@ def run_pipeline(
     # scrub) reads at most PROBE_CHARS of the document, so only that prefix
     # flows through the staged-cascade persists — a 100×-median-length
     # document costs the same as a normal one past this point (X19/X20
-    # bounded-work analog, lang_gate.py:13, runner.py:27).
+    # bounded-work analog, lang_gate.py:13, runner.py:27). carry_text="full"
+    # keeps the unbounded text alongside for whole-document dedup.
+    carry_full = carry_text == "full"
     extracted = extracted.select(
         *carried, "quality_fail_reason", "extract_error",
+        *([F.col("extracted").alias("extracted_full")] if carry_full else []),
         X.probe(F.col("extracted")).alias("extracted"),
     )
 
@@ -293,6 +302,9 @@ def run_pipeline(
         F.lit(C.GATE_PATH_UNKNOWN).alias("gate_path"),
         F.lit(C.PIPELINE_MODE_UNKNOWN).alias("pipeline_mode"),
     )
+    if carry_full:
+        invalid_gated = invalid_gated.withColumn(
+            "extracted_full", F.lit(None).cast("string"))
 
     combined = gated.unionByName(invalid_gated)
 
@@ -334,6 +346,8 @@ def run_pipeline(
     )
     carry_cols = ([F.col("extracted").alias("extracted_probe")]
                   if carry_text else [])
+    if carry_full:
+        carry_cols.append(F.col("extracted_full"))
     return combined.select(
         *carried,
         F.col("language"),

@@ -98,3 +98,34 @@ def test_per_lang_cap_and_sampling(spark, corpus_with_dups):
     a = {r["url"] for r in out.filter("curated").select("url").collect()}
     b = {r["url"] for r in base.filter("curated").select("url").collect()}
     assert a <= b
+
+
+def test_full_text_dedup_not_fooled_by_shared_prefix(spark):
+    """r3 advice (medium): near-dup clustering must see the FULL extracted
+    text — two long documents sharing a >PROBE_CHARS boilerplate prefix but
+    diverging after it are NOT near-duplicates, even though their
+    probe-bounded texts are byte-identical."""
+    from langid_mr_spark import constants as C
+
+    def sents(tag, n):
+        return " ".join(
+            f"{tag}{i}a {tag}{i}b the {tag}{i}c and {tag}{i}d of "
+            f"{tag}{i}e {tag}{i}f" for i in range(n))
+
+    prefix = sents("pp", 90)
+    assert len(prefix) > C.PROBE_CHARS
+    doc_a = prefix + " " + sents("qa", 200)
+    doc_b = prefix + " " + sents("zb", 200)
+    assert doc_a[:C.PROBE_CHARS] == doc_b[:C.PROBE_CHARS]  # probe-identical
+
+    df = (spark.createDataFrame(
+        [("doc://a", doc_a), ("doc://b", doc_b)], "url string, text string")
+        .withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01")))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("html", F.encode(F.col("text"), "UTF-8")))
+    out = curate.curate(df, persist_level=None, use_html=False)
+    by_url = {r["url"]: r for r in out.collect()}
+    assert by_url["doc://a"]["final_keep"] and by_url["doc://b"]["final_keep"]
+    for u in ("doc://a", "doc://b"):
+        assert by_url[u]["is_canonical"], u
+        assert by_url[u]["canonical_url"] == u

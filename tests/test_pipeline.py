@@ -198,3 +198,31 @@ def test_list_input_partitions_unpartitioned_returns_none(spark, tmp_path):
     fixtures.corpus_df(spark, 10).write.mode("overwrite").parquet(flat)
     assert pipeline._list_input_partitions(spark, flat) is None
     assert pipeline._list_input_partitions(spark, str(tmp_path / "nope")) is None
+
+
+def test_real_scorer_decision_spread_on_natural_text(spark):
+    """Flagship discrimination evidence (r3 verdict #6): with the REAL
+    scorers over the checked-in natural-text fixture corpus the cascade
+    must spread across branches — a scorer regression that collapses
+    everything into fallback (as happens on pure word-salad corpora) fails
+    loudly here instead of silently degrading the flagship histogram."""
+    from langid_mr_spark import constants as C
+    from langid_mr_spark import fixtures, pipeline
+
+    out = pipeline.run_pipeline(fixtures.corpus_df(spark, 200),
+                                persist_level=None)
+    counts = {r["gate_decision"]: r["n"]
+              for r in out.groupBy("gate_decision")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(counts) >= 4, counts
+    assert counts.get(C.DECISION_MUSIC_ONLY, 0) > 0, counts    # C1/C5
+    assert counts.get(C.DECISION_HIGH_CONF, 0) > 0, counts     # C2
+    assert counts.get(C.DECISION_FALLBACK, 0) > 0, counts      # C8
+    mid_or_vad = (counts.get(C.DECISION_MID_EN, 0)
+                  + counts.get(C.DECISION_MID_FR, 0)
+                  + counts.get(C.DECISION_VAD_RETRY, 0))
+    assert mid_or_vad > 0, counts                              # C3/C4/C6
+    # the corpus must not be fallback-degenerate: the decided majority
+    # comes from the first pass (accepted/music), not the last resort
+    total = sum(counts.values())
+    assert counts.get(C.DECISION_FALLBACK, 0) < 0.5 * total, counts
