@@ -281,12 +281,23 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X11 (main.py:384-386): JSON field extraction + aggregate."""
+    """X11 + F9 (main.py:384-386, runner.py:51-80): JSON field extraction
+    plus the null-safe .get()-with-default reads (coalesce over a missing
+    JSON path). One query covers both families: the driver's harness
+    evaluates at most 50 contract queries, and r03 silently dropped the
+    51st (null_safe_projection) — folding F9 here keeps its semantics
+    hash-checked every round."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    missing = F.get_json_object(F.col("props"), "$.absent").cast("long")
     return (
-        _t(spark, sf_dir, "events")
-        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        ev.withColumn("k", k)
+        .withColumn("kd", F.coalesce(missing, F.lit(-1)))
         .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"))
+        .agg(F.sum("k").alias("sum_k"),
+             F.sum("kd").alias("missing_defaulted"),
+             F.sum(F.coalesce(F.col("k"), F.lit(-1)))
+              .alias("present_defaulted"))
         .orderBy("event_type")
     )
 
@@ -715,18 +726,6 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_null_safe_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 (runner.py:51-80): .get()-with-default reads over semi-structured
-    data — coalesce over a missing JSON path."""
-    ev = _t(spark, sf_dir, "events")
-    missing = F.get_json_object(F.col("props"), "$.absent").cast("long")
-    present = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.agg(
-        F.sum(F.coalesce(missing, F.lit(-1))).alias("missing_defaulted"),
-        F.sum(F.coalesce(present, F.lit(-1))).alias("present_sum"),
-    )
-
-
 def q_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (prometheus.py:118-136): cross-node metric merge — per-group sums
     after a broadcast join (the shuffle replaces the HTTP fan-in)."""
@@ -898,7 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_survivors": q_delete_survivors,
         "total_count": q_total_count,
         "json_roundtrip": q_json_roundtrip,
-        "null_safe_projection": q_null_safe_projection,
+        # F9 (null-safe projection) is folded into json_pluck: the driver
+        # evaluates at most 50 queries and a 51st entry silently drops.
     }
 
 
@@ -1199,10 +1199,13 @@ def _near_dup_ctes(num_perm: int = 32, bands: int = 16,
         f"hs AS (SELECT doc_id, list_transform(sh, g -> "
         f"{_H15.format(x='g')} % {_MERSENNE}) AS h FROM s), "
         f"sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs), "
+        # empty-shingle docs (all-sentinel signature) are excluded from
+        # banding, mirroring dedup.banded_signatures' skew guard
         f"bnd AS (SELECT doc_id, r.range AS band, "
         f"array_to_string(list_transform(list_slice(sig, "
         f"r.range * {rows} + 1, r.range * {rows} + {rows}), "
-        f"v -> v::VARCHAR), '_') AS key FROM sig, range({bands}) r), "
+        f"v -> v::VARCHAR), '_') AS key FROM sig, range({bands}) r "
+        f"WHERE sig[1] <> {_MERSENNE}), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
         "FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key "
         "AND a.doc_id < b.doc_id), "
@@ -1362,10 +1365,11 @@ def _curation_full_sql(threshold: float = 0.5, cap: int = 25,
         "UNION ALL "
         "SELECT url, 'none', FALSE, "
         f"'{C.DROP_INVALID_INPUT}', NULL, FALSE FROM val WHERE NOT ok), "
-        # near-dup clustering over KEPT probe text (kt exposes doc_id+text
-        # for the shared banded-LSH chain)
-        "kt AS (SELECT c.url AS doc_id, d.probe AS text FROM comb c "
-        "JOIN d0 d ON d.doc_id = c.url WHERE c.final_keep), "
+        # near-dup clustering over the KEPT documents' FULL text (r3
+        # advice: probe-bounded dedup merges long docs sharing a 4k
+        # prefix; kt exposes doc_id+text for the shared banded-LSH chain)
+        "kt AS (SELECT c.url AS doc_id, d.text FROM comb c "
+        "JOIN vd d ON d.doc_id = c.url WHERE c.final_keep), "
         f"{_near_dup_ctes(src='kt')}, "
         f"nd AS (SELECT id_a, id_b FROM v WHERE j >= {threshold}), "
         "e AS (SELECT id_a AS src, id_b AS dst FROM nd "
@@ -1535,7 +1539,11 @@ def oracle_sql() -> dict[str, str]:
             # CAST the outer sum: DuckDB SUM(BIGINT) yields HUGEINT (int128),
             # Spark yields LONG — same value, different hash representation.
             "SELECT event_type, CAST(sum(CAST(json_extract_string(props, "
-            "'$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events "
+            "'$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(sum(coalesce(CAST(json_extract_string(props, '$.absent') "
+            "AS BIGINT), -1)) AS BIGINT) AS missing_defaulted, "
+            "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT), -1)) AS BIGINT) AS present_defaulted FROM events "
             "GROUP BY event_type ORDER BY event_type"
         ),
         "token_stats": (
@@ -1724,12 +1732,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS et, count(*) AS cnt, "
             "CAST(sum(user_id) AS BIGINT) AS uid_sum "
             "FROM events GROUP BY 1 ORDER BY et"
-        ),
-        "null_safe_projection": (
-            "SELECT CAST(sum(coalesce(CAST(json_extract_string(props, "
-            "'$.absent') AS BIGINT), -1)) AS BIGINT) AS missing_defaulted, "
-            "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "
-            "AS BIGINT), -1)) AS BIGINT) AS present_sum FROM events"
         ),
         "binary_metadata": (
             "SELECT doc_id, "
