@@ -20,9 +20,10 @@ Surface:
   (deterministic fake: hashed byte histogram; swap for a real model UDF)
 - ``decode_image``        — REAL pixel decode for PNG (stdlib zlib: 8-bit
   non-interlaced, all five filters, palette expansion), BMP (uncompressed
-  24/32-bit, bottom-up/top-down), and PPM P6 — pure Python, no imaging
-  library. Codec-bound formats (JPEG entropy decode, GIF LZW) remain
-  honestly stubbed: their rows carry the NotImplementedError message in
+  24/32-bit, bottom-up/top-down), PPM P6, and GIF (pure-Python LZW with
+  variable code width, interlace de-weaving, local/global color tables) —
+  no imaging library. JPEG is the one codec-bound format left honestly
+  stubbed: its rows carry the NotImplementedError message in
   ``decode_error`` (poison-safe rows, never dead tasks).
 """
 
@@ -287,6 +288,10 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("paletted PNG without PLTE")
         px = bytearray()
         for b in out:
+            if 3 * b + 3 > len(plte):
+                # a silent short slice would yield a wrong-length pixel
+                # buffer with decode_error NULL — fail the row instead
+                raise ValueError("palette index out of range")
             px += plte[3 * b:3 * b + 3]
         out, nch = px, 3
     return w, h, nch, bytes(out)
@@ -342,10 +347,125 @@ def _ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, bytes(data)
 
 
+def _gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """GIF → (width, height, 3, RGB bytes) of the FIRST image frame — real
+    pure-Python LZW decompression: variable code width with the giflib
+    growth rule (width bumps when the per-code counter exceeds 2^width,
+    counted per code read since the last CLEAR — NOT per table append,
+    which lags one behind), CLEAR/EOI handling, KwKwK case, 12-bit cap;
+    then interlace de-weaving (the 8/8/4/2 four-pass row order) and
+    local-over-global color table mapping. GIF89a extensions (graphic
+    control, comments) are skipped; transparency is ignored (opaque RGB)."""
+    import struct as S
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed = S.unpack("<HHB", payload[6:11])
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF without image data")
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    else:
+        raise ValueError("truncated GIF")
+    _l, _t, w, h, ipacked = S.unpack("<HHHHB", payload[pos + 1:pos + 10])
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:  # local color table overrides global
+        n = 2 << (ipacked & 0x07)
+        ct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF without color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes((i,)) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    size, next_code = min_code + 1, eoi + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    done = False
+    for byte in data:
+        if done:
+            break
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= size:
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            if code == clear:
+                table = list(base)
+                size, next_code = min_code + 1, eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                done = True
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            prev = entry
+            next_code += 1
+            if next_code > (1 << size) and size < 12:
+                size += 1
+
+    if len(out) < w * h:
+        raise ValueError("truncated GIF image data")
+    idx = out[:w * h]
+    if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+        rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        de: list[bytes | None] = [None] * h
+        for src, dst in enumerate(order):
+            de[dst] = rows[src]
+        idx = bytearray(b"".join(r for r in de if r is not None))
+    px = bytearray()
+    for i in idx:
+        if 3 * i + 3 > len(ct):
+            raise ValueError("color index out of range")
+        px += ct[3 * i:3 * i + 3]
+    return w, h, 3, bytes(px)
+
+
 def decode_pixels(payload: bytes | None) -> tuple[int, int, int, bytes]:
     """Dispatch → (width, height, channels, raw pixel bytes). Raises
-    NotImplementedError for genuinely codec-bound formats (JPEG entropy
-    coding, GIF LZW) — the only remaining stub surface."""
+    NotImplementedError only for JPEG — the one genuinely codec-bound
+    format left (entropy decode); PNG/BMP/PPM/GIF decode for real."""
     if not payload:
         raise ValueError("empty payload")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -359,17 +479,15 @@ def decode_pixels(payload: bytes | None) -> tuple[int, int, int, bytes]:
             "JPEG pixel decode requires an entropy codec library "
             "(header metadata IS decoded — decode_headers)")
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError(
-            "GIF pixel decode requires an LZW codec library "
-            "(header metadata IS decoded — decode_headers)")
+        return _gif_pixels(payload)
     raise ValueError("unknown image container")
 
 
 def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """mapInPandas: binary → decoded pixels (raw bytes) + dimensions.
-    PNG/BMP/PPM decode for REAL (pure Python, golden-byte-tested); rows in
-    codec-bound formats carry the NotImplementedError message in
-    ``decode_error`` — poison-safe rows, never dead tasks (D5)."""
+    PNG/BMP/PPM/GIF decode for REAL (pure Python, golden-byte-tested);
+    JPEG rows carry the NotImplementedError message in ``decode_error`` —
+    poison-safe rows, never dead tasks (D5)."""
     from pyspark.sql import types as T
 
     schema_out = T.StructType(

@@ -259,3 +259,139 @@ def test_decode_headers_dataframe(spark):
     assert got[4]["height"] == 20
     assert got[5]["header_error"] == "empty payload"
     assert len(got) == 5  # poison rows survive as rows
+
+
+# --- GIF pixel decode (real LZW) ---------------------------------------------
+
+def _lzw_encode(indices, min_code):
+    """Reference GIF-LZW compressor for golden-byte tests (greedy longest
+    match, giflib code-width growth rule)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    size = min_code + 1
+    next_code = eoi + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    codes = [(clear, size)]
+
+    def bump():
+        nonlocal size, next_code
+        next_code += 1
+        if next_code > (1 << size) and size < 12:
+            size += 1
+
+    s = b""
+    for c in indices:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+            continue
+        codes.append((table[s], size))
+        table[sc] = next_code
+        bump()
+        s = bytes([c])
+    if s:
+        codes.append((table[s], size))
+        bump()
+    codes.append((eoi, size))
+    acc = n = 0
+    out = bytearray()
+    for code, sz in codes:
+        acc |= code << n
+        n += sz
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _interlace_order(h):
+    return ([*range(0, h, 8)] + [*range(4, h, 8)]
+            + [*range(2, h, 4)] + [*range(1, h, 2)])
+
+
+def _encode_gif(indices, w, h, palette, min_code=2, interlace=False,
+                with_extension=False):
+    out = bytearray(b"GIF89a" if with_extension else b"GIF87a")
+    out += _S.pack("<HHBBB", w, h, 0x80 | (min_code - 1), 0, 0)
+    out += palette
+    if with_extension:  # graphic control ext — must be skipped by decoder
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    if interlace:  # rows stored in 4-pass order
+        rows = [indices[r * w:(r + 1) * w] for r in range(h)]
+        indices = b"".join(bytes(rows[dst]) for dst in _interlace_order(h))
+    out += b"\x2c" + _S.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([min_code])
+    data = _lzw_encode(bytes(indices), min_code)
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_PALETTE = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 40, 50, 60))
+
+
+def _gif_indices(w, h):
+    # varied pattern → dictionary growth through several code widths
+    return bytes(((x * 3 + y * 5 + (x * y) // 3) % 4)
+                 for y in range(h) for x in range(w))
+
+
+def test_gif_decode_golden():
+    w, h = 20, 17
+    idx = _gif_indices(w, h)
+    want = b"".join(_GIF_PALETTE[3 * i:3 * i + 3] for i in idx)
+    gw, gh, gc, got = MM.decode_pixels(_encode_gif(idx, w, h, _GIF_PALETTE))
+    assert (gw, gh, gc) == (w, h, 3)
+    assert got == want
+
+
+def test_gif_decode_interlaced_and_extension():
+    w, h = 8, 13
+    idx = _gif_indices(w, h)
+    want = b"".join(_GIF_PALETTE[3 * i:3 * i + 3] for i in idx)
+    payload = _encode_gif(idx, w, h, _GIF_PALETTE, interlace=True,
+                          with_extension=True)
+    assert MM.decode_pixels(payload) == (w, h, 3, want)
+
+
+def test_gif_decode_in_dataframe(spark):
+    w, h = 6, 4
+    idx = _gif_indices(w, h)
+    want = b"".join(_GIF_PALETTE[3 * i:3 * i + 3] for i in idx)
+    df = spark.createDataFrame(
+        [(0, _encode_gif(idx, w, h, _GIF_PALETTE))], "id long, payload binary")
+    row = MM.decode_image(df).collect()[0]
+    assert row["decode_error"] is None
+    assert (row["width"], row["height"], row["channels"]) == (w, h, 3)
+    assert bytes(row["pixels"]) == want
+
+
+def test_png_palette_index_out_of_range_is_error_row(spark):
+    """r3 advice: an index past PLTE must raise (→ decode_error row), not
+    silently append a short slice."""
+    import struct
+    import zlib
+
+    plte = bytes((255, 0, 0, 0, 255, 0))       # only 2 entries
+    raw = bytes((0, 0, 3))                     # row [0, 3]: 3 out of range
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        MM.decode_pixels(payload)
+    df = spark.createDataFrame([(0, payload)], "id long, payload binary")
+    row = MM.decode_image(df).collect()[0]
+    assert row["pixels"] is None
+    assert "palette index out of range" in row["decode_error"]
