@@ -76,8 +76,15 @@ def pack_shards(df: DataFrame, token_budget: int, key_col: str,
         acc += totals[pid]
     mapping = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
-    w = Window.partitionBy("_pid").orderBy(
-        F.col("_ord").asc(), F.col(key_col).asc())
+    # Explicit ROWS frame: the default RANGE frame would hand every row
+    # tied on (_ord, key_col) — i.e. duplicate keys — the same cumulative
+    # sum, diverging from the oracle's ROWS UNBOUNDED PRECEDING semantics.
+    # Contract: ``key_col`` must be unique (it is the document identity);
+    # with duplicate keys the within-tie order, hence the packing, is
+    # undefined on both engines.
+    w = (Window.partitionBy("_pid")
+         .orderBy(F.col("_ord").asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = F.sum(F.col(token_col)).over(w)
     excl = mapping[F.col("_pid")] + run - F.col(token_col)
     # decimal division: exact integral floor-div beyond double's 2^53

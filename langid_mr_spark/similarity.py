@@ -201,8 +201,13 @@ def ivf_train(vectors: DataFrame, dim: int, n_cells: int = 16,
 
     from . import sampling as _smp
 
-    v = vectors.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    v = (vectors.filter(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 _to_double(F.col(vec_col)).alias("v"))
+         # wrong-length vectors would ANSI-raise on v[i] inside the sum
+         # aggregate; NULL-element vectors yield a NULL cell and are
+         # skipped below — both are poison rows, neither may kill training
+         .filter(F.size("v") == dim))
     if sample_fraction is not None:
         v = v.filter(
             _smp.hash_fraction(F.col("id"), "ivf_train") < sample_fraction)
@@ -215,7 +220,17 @@ def ivf_train(vectors: DataFrame, dim: int, n_cells: int = 16,
         ).collect()
         new = [list(a) for a in anchors]
         for r in agg:
-            mean = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            # Poison-row guard: a vector with NULL elements or the wrong
+            # length makes the argmax-cell expression (or a column sum)
+            # NULL — skip those agg rows instead of crashing training on
+            # one malformed row (same philosophy as the pipeline's
+            # drop_reason='error' capture).
+            if r["cell"] is None or not r["n"]:
+                continue
+            sums = [r[f"s{i}"] for i in range(dim)]
+            if any(s is None for s in sums):
+                continue
+            mean = [s / r["n"] for s in sums]
             norm = math.sqrt(sum(x * x for x in mean)) or 1.0
             new[r["cell"]] = [x / norm for x in mean]
         anchors = new

@@ -172,3 +172,19 @@ def test_ivf_recall_and_exact_sims(frames):
         key = (r["qid"], r["vec_id"])
         if key in exact_sims:
             assert r["sim"] == exact_sims[key]
+
+
+def test_ivf_train_skips_malformed_vectors(spark):
+    """Poison-row philosophy in training (r3 advice): NULL elements, wrong
+    length, or whole-NULL vectors must be skipped, not crash the driver
+    with a TypeError on cell=None."""
+    rows = [(i, [1.0 if j == i % 4 else 0.1 * j for j in range(4)])
+            for i in range(8)]
+    rows += [(100, [1.0, None, 0.0, 0.0]),   # NULL element
+             (101, [1.0, 0.0]),              # wrong length
+             (102, None)]                    # whole-NULL
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = similarity.ivf_train(df, dim=4, n_cells=2, iters=2)
+    assert len(anchors) == 2
+    assert all(len(a) == 4 and all(x is not None for x in a)
+               for a in anchors)
