@@ -94,14 +94,18 @@ def main() -> None:
 
     probe_cal = min(probe_ms() for _ in range(5))
     probes: list[float] = []
+    probes_by_query: dict[str, list[float]] = {}
 
     timings: dict[str, float] = {}
 
-    def timed(fn, reps: int = 3) -> float:
+    def timed(fn, key: str, reps: int = 3) -> float:
         vals = []
+        local = probes_by_query.setdefault(key, [])
         for _ in range(reps):
             spark.catalog.clearCache()
-            probes.append(probe_ms())
+            p = probe_ms()
+            probes.append(p)
+            local.append(p)
             t0 = time.perf_counter()
             fn()
             vals.append(time.perf_counter() - t0)
@@ -113,7 +117,8 @@ def main() -> None:
     # --- headline: the full quality-filter pipeline, fully materialized ---
     timings["pipeline"] = timed(
         lambda: pipeline.run_pipeline(src)
-        .write.format("noop").mode("overwrite").save()
+        .write.format("noop").mode("overwrite").save(),
+        "pipeline",
     )
 
     # --- operator-family queries over the provided testdata tables ---
@@ -128,7 +133,8 @@ def main() -> None:
         fn = qs[name]
         timings[name] = timed(
             lambda f=fn: f(spark, SF_DIR)
-            .write.format("noop").mode("overwrite").save()
+            .write.format("noop").mode("overwrite").save(),
+            name,
         )
 
     total = round(sum(timings.values()), 3)
@@ -143,9 +149,21 @@ def main() -> None:
         "cpus": CPUS,
         "interference": {
             "probe_calibration_ms": round(probe_cal, 1),
+            # the start-of-run calibration can itself land in a burst
+            # (observed 75–117 ms for the same loop); the FLOOR — the
+            # quietest moment seen across the whole run — is the honest
+            # denominator for attribution
+            "probe_floor_ms": round(min([probe_cal] + probes), 1),
             "probe_median_ratio": round(
                 sorted(probes)[len(probes) // 2] / probe_cal, 2),
             "probe_max_ratio": round(max(probes) / probe_cal, 2),
+            # worst probe ratio seen at each query's reps (vs the floor):
+            # a slow query with a quiet probe is a real regression; a slow
+            # query with an inflated probe is the co-tenant
+            "probe_max_by_query": {
+                k: round(max(v) / min([probe_cal] + probes), 2)
+                for k, v in probes_by_query.items()
+            },
         },
     }
     print(json.dumps(result))
