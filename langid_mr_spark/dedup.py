@@ -287,7 +287,17 @@ def incremental_candidates(new_sigs: DataFrame,
 
     Returns (id_a, id_b): old-vs-new pairs as (stored id, new id) in any id
     order; new-vs-new pairs once with id_a < id_b. Verify with `jaccard` on
-    the candidate set."""
+    the candidate set.
+
+    Defense-in-depth: banded_signatures no longer emits the all-sentinel
+    (empty-shingle) rows, but a signature store WRITTEN BEFORE that guard
+    may still hold them — and one legacy sentinel bucket against a new
+    batch's sentinel rows re-creates the O(m²) blowup. Every permuted hash
+    is < _MERSENNE, so a legitimate key can never start with the sentinel
+    value; both sides are filtered on that prefix."""
+    sentinel = str(_MERSENNE)
+    new_sigs = new_sigs.filter(~F.col("key").startswith(sentinel))
+    stored_sigs = stored_sigs.filter(~F.col("key").startswith(sentinel))
     new_a = new_sigs.select("band", "key", F.col("id").alias("id_a"))
     new_b = new_sigs.select("band", "key", F.col("id").alias("id_b"))
     new_vs_new = (

@@ -58,19 +58,28 @@ def _probe_ms() -> float:
 PROBE_CAL = None  # set once in main()
 
 
-def _wait_for_quiet(max_wait_s: float = 120.0) -> float:
-    """Before a timed run: if the interference probe is >1.4× calibration,
-    wait (up to ``max_wait_s``) for the burst to pass. Samples are never
-    DROPPED retroactively — this only delays the start, so both levels see
-    the same admission rule (no per-level bias). (Round-3 tightening:
-    1.8×/60 s admitted cycle-4's burst, which alone dragged the 8→32
-    per-level median to 0.776 — the round-4 judge ask.)"""
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_for_quiet(max_wait_s: float = 180.0) -> tuple[float, float]:
+    """Before a timed run: wait (up to ``max_wait_s``) while EITHER the
+    single-thread interference probe is >1.4× calibration OR the 1-minute
+    load average is >10. The probe catches per-core slowdowns; the load
+    average catches MANY-CORE co-tenant contention the probe is blind to
+    (a tenant eating 20 of 32 cores barely slows one busy-loop thread yet
+    quadruples a local[32] run — the failure mode that wrecked two cycles
+    of the first round-4 run). Our own process is idle here, so load is
+    the co-tenants'. Samples are never DROPPED retroactively — this only
+    delays the start, the same admission rule for both levels (no
+    per-level bias). Returns (probe_ms, load1) for the sample record."""
     deadline = time.perf_counter() + max_wait_s
-    p = _probe_ms()
-    while p > 1.4 * PROBE_CAL and time.perf_counter() < deadline:
+    p, ld = _probe_ms(), _load1()
+    while (p > 1.4 * PROBE_CAL or ld > 10.0) and time.perf_counter() < deadline:
         time.sleep(5)
-        p = _probe_ms()
-    return p
+        p, ld = _probe_ms(), _load1()
+    return p, ld
 
 
 def _cpu_snap() -> list[int]:
@@ -130,14 +139,14 @@ def measure(cpus: int, corpus_path: str) -> list[tuple[float, float, float]]:
         vals = []
         for _ in range(RUNS_PER_SESSION.get(cpus, 2)):
             spark.catalog.clearCache()
-            probe = _wait_for_quiet()
+            probe, load1 = _wait_for_quiet()
             c0 = _cpu_snap()
             t0 = time.perf_counter()
             pipeline.run_pipeline(src).write.format("noop").mode(
                 "overwrite").save()
             elapsed = time.perf_counter() - t0
             vals.append((elapsed, _steal_pct(c0, _cpu_snap()),
-                         round(probe / PROBE_CAL, 2)))
+                         round(probe / PROBE_CAL, 2), load1))
         return vals
     finally:
         spark.stop()
@@ -181,8 +190,8 @@ def main() -> None:
             "t8_sec": round(t8, 2), "t32_sec": round(t32, 2),
             "t8_median_sec": round(med8, 2),
             "t32_median_sec": round(med32, 2),
-            "samples8": [[round(e, 2), s, p] for e, s, p in res[8]],
-            "samples32": [[round(e, 2), s, p] for e, s, p in res[32]],
+            "samples8": [[round(e, 2), s, p, ld] for e, s, p, ld in res[8]],
+            "samples32": [[round(e, 2), s, p, ld] for e, s, p, ld in res[32]],
             "docs_per_sec_8": round(N_DOCS / t8, 1),
             "docs_per_sec_32": round(N_DOCS / t32, 1),
             "efficiency": round((t8 / t32) / 4.0, 3),
@@ -245,10 +254,15 @@ visible. Each measurement is CPU-affinity-confined to its N cores (JVM
 threads + Python UDF workers): unconfined, the OS schedules the Python
 workers on extra cores and "local[8]" really uses up to 16, overstating
 small-N throughput. Co-tenant bursts report ~0% CPU steal here, so each
-run is additionally admission-gated by a busy-loop interference probe
-(run start delayed up to 120 s while the probe reads >1.4× calibration —
-the same rule for both levels, never retroactive sample dropping); every
-sample's [elapsed, steal%, probe_ratio] is in the JSON output.
+run is additionally admission-gated by a busy-loop interference probe AND
+the 1-minute load average (run start delayed up to 180 s while the probe
+reads >1.4× calibration or load1 > 10 — the same rule for both levels,
+never retroactive sample dropping). The load check matters because the
+single-thread probe is blind to MANY-CORE contention: a co-tenant eating
+20 of 32 cores barely slows one busy-loop thread yet quadruples a
+local[32] run while leaving the 8-core-confined local[8] nearly intact —
+exactly the asymmetry that fakes a scaling failure. Every sample's
+[elapsed, steal%, probe_ratio, load1] is in the JSON output.
 
 | cycle | order | best[8] s | best[32] s | med[8] s | med[32] s | docs/s @8 | docs/s @32 | eff (best) | eff (median) |
 |---|---|---|---|---|---|---|---|---|---|

@@ -281,3 +281,22 @@ def test_duplicate_clusters_converges_exactly_at_round_cap(spark):
     got = {r["id"]: r["cluster_id"]
            for r in _dd.duplicate_clusters(pairs, ids, max_rounds=5).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_incremental_candidates_ignores_legacy_sentinel_rows(spark):
+    """A signature store written before the empty-shingle banding guard may
+    still hold all-sentinel rows; probing it with a new batch must not
+    resurrect the sentinel mega-bucket."""
+    from langid_mr_spark.dedup import _MERSENNE
+
+    legacy_key = "_".join([str(_MERSENNE)] * 2)
+    stored = spark.createDataFrame(
+        [(i, b, legacy_key) for i in range(50) for b in range(2)],
+        "id long, band int, key string")
+    new = spark.createDataFrame(
+        [(100 + i, b, legacy_key) for i in range(10) for b in range(2)]
+        + [(200, 0, "123_456"), (201, 0, "123_456")],
+        "id long, band int, key string")
+    cands = {(r["id_a"], r["id_b"])
+             for r in dedup.incremental_candidates(new, stored).collect()}
+    assert cands == {(200, 201)}
