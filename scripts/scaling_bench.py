@@ -27,6 +27,7 @@ Usage: python scripts/scaling_bench.py [n_docs] [cycles]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -55,7 +56,59 @@ def _probe_ms() -> float:
     return (time.perf_counter() - t0) * 1000.0
 
 
+# Captured at import, BEFORE measure() confines this process: wide-probe
+# children must contend for the WHOLE box, not the confined subset.
+_ALL_CORES = os.sched_getaffinity(0)
+
+
+def _probe_wide_ms(nproc: int = 32) -> float:
+    """87.5th-percentile busy-loop wall time across ``nproc`` CONCURRENT
+    processes, one pinned per core. The single-thread probe is blind to
+    many-core contention (a tenant on 20 of 32 cores leaves one busy loop
+    a free core); with one probe per core, every core the tenant occupies
+    shows a ~2× probe. The high percentile — not the median — is the
+    right statistic because Spark stages are barriers: the slowest task
+    gates the stage, so a tenant on 16 of 32 cores roughly doubles a
+    local[32] stage even though half the cores are clean (measured: a
+    synthetic 16-core tenant reads ~1.1× at the median but ~2× at p87.5).
+    Children are raw os.fork (no exec, no multiprocessing task pickling)
+    doing only sched_setaffinity + an arithmetic loop + a pipe write.
+    Each child is pinned to ONE specific core, round-robin over the whole
+    box: the calling process is affinity-confined inside measure(), and a
+    child that merely widens its inherited mask to all cores stays on the
+    crowded inherited core until the load balancer migrates it (the
+    current CPU is still in the mask), which measured ~1.4× inflation
+    under a confined parent; pinning to a single out-of-mask core forces
+    the migration immediately and spreads the loops deterministically."""
+    import struct
+
+    cores = sorted(_ALL_CORES)
+    rfd, wfd = os.pipe()
+    pids = []
+    for i in range(nproc):
+        pid = os.fork()
+        if pid == 0:
+            try:
+                os.sched_setaffinity(0, {cores[i % len(cores)]})
+                os.write(wfd, struct.pack("d", _probe_ms()))
+            finally:
+                os._exit(0)
+        pids.append(pid)
+    vals = []
+    for _ in range(nproc):
+        buf = b""
+        while len(buf) < 8:  # 8-byte pipe writes are atomic (< PIPE_BUF)
+            buf += os.read(rfd, 8 - len(buf))
+        vals.append(struct.unpack("d", buf)[0])
+    for pid in pids:
+        os.waitpid(pid, 0)
+    os.close(rfd)
+    os.close(wfd)
+    return sorted(vals)[(len(vals) * 7) // 8]
+
+
 PROBE_CAL = None  # set once in main()
+PROBE_WIDE_CAL = None  # set once in main()
 
 
 def _load1() -> float:
@@ -63,23 +116,33 @@ def _load1() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_for_quiet(max_wait_s: float = 180.0) -> tuple[float, float]:
-    """Before a timed run: wait (up to ``max_wait_s``) while EITHER the
-    single-thread interference probe is >1.4× calibration OR the 1-minute
-    load average is >10. The probe catches per-core slowdowns; the load
-    average catches MANY-CORE co-tenant contention the probe is blind to
-    (a tenant eating 20 of 32 cores barely slows one busy-loop thread yet
-    quadruples a local[32] run — the failure mode that wrecked two cycles
-    of the first round-4 run). Our own process is idle here, so load is
-    the co-tenants'. Samples are never DROPPED retroactively — this only
-    delays the start, the same admission rule for both levels (no
-    per-level bias). Returns (probe_ms, load1) for the sample record."""
+def _wait_for_quiet(max_wait_s: float = 180.0) -> tuple[float, float, float]:
+    """Before a timed run: wait (up to ``max_wait_s``) while ANY of three
+    interference signals is hot — the single-thread probe >1.4× its
+    calibration (per-core slowdowns), the 32-process WIDE probe >1.5× its
+    calibration (many-core contention: the signal the single-thread probe
+    is structurally blind to, and the one that inflated wide-level runs
+    2-5× in both earlier round-4 runs while sitting below every other
+    gate), or load1 >10 (coarse backstop; a 1-minute EMA, so it lags
+    burst onset by tens of seconds — the wide probe reacts immediately).
+    Our own process is idle here, so all three measure the co-tenants'.
+    Samples are never DROPPED retroactively — this only delays the start,
+    the same admission rule for both levels (no per-level bias). Returns
+    (probe_ms, wide_ms, load1) for the sample record."""
+    global PROBE_CAL, PROBE_WIDE_CAL
     deadline = time.perf_counter() + max_wait_s
-    p, ld = _probe_ms(), _load1()
-    while (p > 1.4 * PROBE_CAL or ld > 10.0) and time.perf_counter() < deadline:
+    p, w, ld = _probe_ms(), _probe_wide_ms(), _load1()
+    while (p > 1.4 * PROBE_CAL or w > 1.5 * PROBE_WIDE_CAL
+           or ld > 10.0) and time.perf_counter() < deadline:
         time.sleep(5)
-        p, ld = _probe_ms(), _load1()
-    return p, ld
+        p, w, ld = _probe_ms(), _probe_wide_ms(), _load1()
+    # floor tracking: calibration taken at startup may itself have been
+    # contended; any quieter later reading becomes the new floor, so the
+    # gate only ever tightens (the wide probe's quiet readings drift ~1.4×
+    # with background load, which would otherwise flap a fixed threshold)
+    PROBE_CAL = min(PROBE_CAL, p)
+    PROBE_WIDE_CAL = min(PROBE_WIDE_CAL, w)
+    return p, w, ld
 
 
 def _cpu_snap() -> list[int]:
@@ -93,10 +156,11 @@ def _steal_pct(a: list[int], b: list[int]) -> float:
     return round(100.0 * d[7] / total, 2)  # idx 7 = steal
 
 
-def measure(cpus: int, corpus_path: str) -> list[tuple[float, float, float]]:
+def measure(cpus: int, corpus_path: str) -> list[tuple[float, ...]]:
     """One session at `cpus`: warmup, then RUNS_PER_SESSION timed runs.
-    Returns every sample as (elapsed, steal_pct, probe_ratio) — steal% and
-    the busy-loop probe ratio document co-tenant interference per sample.
+    Returns every sample as (elapsed, steal_pct, probe_ratio,
+    wide_probe_ratio, load1) — the interference signals read at each
+    sample's admission document co-tenant contention per sample.
 
     The whole measurement is CPU-affinity-confined to `cpus` cores: Spark's
     Python UDF workers are separate OS processes that the scheduler would
@@ -139,14 +203,15 @@ def measure(cpus: int, corpus_path: str) -> list[tuple[float, float, float]]:
         vals = []
         for _ in range(RUNS_PER_SESSION.get(cpus, 2)):
             spark.catalog.clearCache()
-            probe, load1 = _wait_for_quiet()
+            probe, wide, load1 = _wait_for_quiet()
             c0 = _cpu_snap()
             t0 = time.perf_counter()
             pipeline.run_pipeline(src).write.format("noop").mode(
                 "overwrite").save()
             elapsed = time.perf_counter() - t0
             vals.append((elapsed, _steal_pct(c0, _cpu_snap()),
-                         round(probe / PROBE_CAL, 2), load1))
+                         round(probe / PROBE_CAL, 2),
+                         round(wide / PROBE_WIDE_CAL, 2), load1))
         return vals
     finally:
         spark.stop()
@@ -171,8 +236,9 @@ def main() -> None:
     for p in sorted(Path(corpus_path).rglob("*.parquet")):
         p.read_bytes()
 
-    global PROBE_CAL
+    global PROBE_CAL, PROBE_WIDE_CAL
     PROBE_CAL = min(_probe_ms() for _ in range(7))
+    PROBE_WIDE_CAL = min(_probe_wide_ms() for _ in range(3))
 
     cycles = []
     for c in range(CYCLES):
@@ -190,8 +256,10 @@ def main() -> None:
             "t8_sec": round(t8, 2), "t32_sec": round(t32, 2),
             "t8_median_sec": round(med8, 2),
             "t32_median_sec": round(med32, 2),
-            "samples8": [[round(e, 2), s, p, ld] for e, s, p, ld in res[8]],
-            "samples32": [[round(e, 2), s, p, ld] for e, s, p, ld in res[32]],
+            "samples8": [[round(e, 2), s, p, w, ld]
+                         for e, s, p, w, ld in res[8]],
+            "samples32": [[round(e, 2), s, p, w, ld]
+                          for e, s, p, w, ld in res[32]],
             "docs_per_sec_8": round(N_DOCS / t8, 1),
             "docs_per_sec_32": round(N_DOCS / t32, 1),
             "efficiency": round((t8 / t32) / 4.0, 3),
@@ -214,6 +282,7 @@ def main() -> None:
     best32 = max(c["docs_per_sec_32"] for c in cycles)
     result = {"n_docs": N_DOCS, "cycles": cycles,
               "probe_calibration_ms": round(PROBE_CAL, 1),
+              "probe_wide_calibration_ms": round(PROBE_WIDE_CAL, 1),
               "median_scaling_efficiency": round(eff, 3),
               "median_scaling_efficiency_of_medians": round(eff_med, 3),
               "median_efficiency_by_order": by_order,
@@ -254,15 +323,19 @@ visible. Each measurement is CPU-affinity-confined to its N cores (JVM
 threads + Python UDF workers): unconfined, the OS schedules the Python
 workers on extra cores and "local[8]" really uses up to 16, overstating
 small-N throughput. Co-tenant bursts report ~0% CPU steal here, so each
-run is additionally admission-gated by a busy-loop interference probe AND
-the 1-minute load average (run start delayed up to 180 s while the probe
-reads >1.4× calibration or load1 > 10 — the same rule for both levels,
-never retroactive sample dropping). The load check matters because the
-single-thread probe is blind to MANY-CORE contention: a co-tenant eating
-20 of 32 cores barely slows one busy-loop thread yet quadruples a
-local[32] run while leaving the 8-core-confined local[8] nearly intact —
-exactly the asymmetry that fakes a scaling failure. Every sample's
-[elapsed, steal%, probe_ratio, load1] is in the JSON output.
+run is admission-gated on THREE interference signals (run start delayed
+up to 180 s while any is hot — the same rule for both levels, never
+retroactive sample dropping): a single-thread busy-loop probe (>1.4×
+calibration; per-core slowdowns), a 32-process WIDE probe spanning all
+cores (>1.5× calibration, p87.5 statistic), and load1 > 10 as a lagging backstop. The
+wide probe exists because a single busy loop is blind to MANY-CORE
+contention: a co-tenant eating 20 of 32 cores barely slows one thread
+yet quadruples a local[32] run while leaving the 8-core-confined
+local[8] nearly intact — exactly the asymmetry that fakes a scaling
+failure; 32 concurrent loops must share the box with that tenant, so
+their p87.5 time rises the way the wide level's stage-barrier runtime does.
+Every sample's [elapsed, steal%, probe_ratio, wide_probe_ratio, load1]
+is in the JSON output.
 
 | cycle | order | best[8] s | best[32] s | med[8] s | med[32] s | docs/s @8 | docs/s @32 | eff (best) | eff (median) |
 |---|---|---|---|---|---|---|---|---|---|
