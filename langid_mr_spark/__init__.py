@@ -22,7 +22,8 @@ Layout
 - ``queries``       analytics parity queries (driver oracle contract)
 - ``dedup``         exact / MinHash-LSH / SimHash deduplication
 - ``similarity``    embedding ANN (brute-force + LSH-bucketed)
-- ``multimodal``    binary-column plumbing for image/audio payloads
+- ``multimodal``    image/audio/video binary columns: sniff, header decode,
+                    pixel/PCM/frame decode, resize, features
 """
 
 __version__ = "0.1.0"

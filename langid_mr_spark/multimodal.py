@@ -4,10 +4,13 @@ columns with typed metadata.
 The reference's payload IS multimodal (audio blobs decoded by audio_io.py:
 53-195 with codec sniffing and resampling). This module re-creates that
 shape for a Spark table: the Spark-side plumbing — schema, Arrow batch
-handling, partitioning-safe UDF signatures — is real and tested; the codec
-decode itself is stubbed (the container ships no image/audio libraries)
-behind ``decode_stub``/a deterministic fake feature extractor, exactly as
-the task brief directs.
+handling, partitioning-safe UDF signatures — is real and tested, and so is
+most of the decoding itself (pure Python/numpy, no imaging or audio
+library): PNG/BMP/PPM/GIF pixels, WAV PCM samples, Y4M and animated-GIF
+frames. Only entropy-codec-bound formats (JPEG pixels, MP3/MP4/MKV/AVI
+payloads) stay stubbed as poison-safe error rows, exactly as the task
+brief directs; the feature extractor is a deterministic fake standing in
+for a real model UDF.
 
 Surface:
 - ``sniff_metadata_col``  — native magic-byte sniffing → struct<format,size>
@@ -25,6 +28,22 @@ Surface:
   no imaging library. JPEG is the one codec-bound format left honestly
   stubbed: its rows carry the NotImplementedError message in
   ``decode_error`` (poison-safe rows, never dead tasks).
+- ``resize_images``       — decode + REAL nearest-neighbor resize to a fixed
+  target (vectorized numpy fancy-indexing), one UDF pass per payload — the
+  thumbnail/model-input-normalization step of an image curation pipeline
+- ``decode_audio``        — REAL RIFF/WAVE PCM sample decode (16-bit signed
+  / 8-bit unsigned, chunk walk, interleaved channels) + optional linear
+  resampling to a target rate (the audio_io.py:103-148 resample-to-16k
+  analog) + energy stats (rms, silence_ratio — the VAD-gate analog a
+  curation filter reads)
+- ``sample_frames``       — video frame sampling: REAL for Y4M/YUV4MPEG2
+  uncompressed streams (header params, FRAME markers, 4:2:0/4:2:2/4:4:4
+  plane math, luma plane per frame) AND animated GIF (full GCE walk:
+  disposal methods, transparency, sub-rect compositing over the logical
+  screen — the web's de-facto short-video format), every-k-th-frame
+  selection with a row-explode mapInPandas (one output row per sampled
+  frame); codec-bound containers (MP4/MKV/AVI) stay honestly stubbed as
+  poison rows.
 """
 
 from __future__ import annotations
@@ -113,11 +132,12 @@ def extract_features(df: DataFrame, binary_col: str = "payload",
 
 def decode_header(payload: bytes | None) -> dict:
     """Parse REAL container metadata from the payload's header bytes —
-    PNG IHDR, JPEG SOF, GIF logical screen, WAV fmt chunk — the analog of
+    PNG IHDR, JPEG SOF, GIF logical screen, WAV fmt chunk, MP3 frame
+    header (after an ID3v2 skip) — the analog of
     the reference's ffprobe step (audio_io.py:53-101) that needs no codec
-    library. Pixel/sample decode stays stubbed (decode_image); everything a
-    curation pipeline filters on (dimensions, channels, sample rate, bit
-    depth) is decoded for real here. Returns a dict matching HEADER_FIELDS;
+    library. Everything a curation pipeline filters on (dimensions,
+    channels, sample rate, bit depth) is decoded for real here; pixel/
+    sample decode lives in decode_image / decode_audio / sample_frames. Returns a dict matching HEADER_FIELDS;
     unparseable payloads set error instead of raising (poison-safe)."""
     import struct as S
 
@@ -157,6 +177,37 @@ def decode_header(payload: bytes | None) -> dict:
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = S.unpack("<HH", payload[6:10])
             out.update(kind="gif", width=w, height=h, bit_depth=8)
+        elif payload[:3] == b"ID3" or (
+                len(payload) >= 2 and payload[0] == 0xFF
+                and payload[1] & 0xE0 == 0xE0):
+            # MP3: skip an ID3v2 tag (syncsafe 28-bit size), then parse the
+            # first MPEG audio frame header — version/layer/bitrate/
+            # samplerate/channel-mode are plain bit fields (frame ENTROPY
+            # decode stays codec-bound; this is the ffprobe-metadata analog)
+            i = 0
+            if payload[:3] == b"ID3":
+                if len(payload) < 10:
+                    raise ValueError("truncated ID3 tag")
+                sz = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                      | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+                i = 10 + sz
+            while i + 4 <= len(payload) and not (
+                    payload[i] == 0xFF and payload[i + 1] & 0xE0 == 0xE0):
+                i += 1
+            if i + 4 > len(payload):
+                raise ValueError("MP3 without frame sync")
+            b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+            ver = (b1 >> 3) & 0x3    # 0=2.5, 2=MPEG2, 3=MPEG1
+            layer = (b1 >> 1) & 0x3  # 1=III, 2=II, 3=I
+            if ver == 1 or layer == 0:
+                raise ValueError("bad MPEG frame header")
+            rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                     0: (11025, 12000, 8000)}[ver]
+            sr_idx = (b2 >> 2) & 0x3
+            if sr_idx == 3:
+                raise ValueError("bad MPEG samplerate index")
+            out.update(kind="mp3", sample_rate=rates[sr_idx],
+                       channels=1 if (b3 >> 6) & 0x3 == 3 else 2)
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             i, n = 12, len(payload)
             while i + 8 <= n:
@@ -347,57 +398,12 @@ def _ppm_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, bytes(data)
 
 
-def _gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """GIF → (width, height, 3, RGB bytes) of the FIRST image frame — real
-    pure-Python LZW decompression: variable code width with the giflib
-    growth rule (width bumps when the per-code counter exceeds 2^width,
-    counted per code read since the last CLEAR — NOT per table append,
-    which lags one behind), CLEAR/EOI handling, KwKwK case, 12-bit cap;
-    then interlace de-weaving (the 8/8/4/2 four-pass row order) and
-    local-over-global color table mapping. GIF89a extensions (graphic
-    control, comments) are skipped; transparency is ignored (opaque RGB)."""
-    import struct as S
-
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-    _sw, _sh, packed = S.unpack("<HHB", payload[6:11])
-    pos, gct = 13, None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = payload[pos:pos + 3 * n]
-        pos += 3 * n
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x21:  # extension: introducer + label + sub-blocks
-            pos += 2
-            while pos < len(payload) and payload[pos]:
-                pos += 1 + payload[pos]
-            pos += 1
-        elif b == 0x2C:
-            break
-        elif b == 0x3B:
-            raise ValueError("GIF without image data")
-        else:
-            raise ValueError(f"bad GIF block 0x{b:02x}")
-    else:
-        raise ValueError("truncated GIF")
-    _l, _t, w, h, ipacked = S.unpack("<HHHHB", payload[pos + 1:pos + 10])
-    pos += 10
-    ct = gct
-    if ipacked & 0x80:  # local color table overrides global
-        n = 2 << (ipacked & 0x07)
-        ct = payload[pos:pos + 3 * n]
-        pos += 3 * n
-    if ct is None:
-        raise ValueError("GIF without color table")
-    min_code = payload[pos]
-    pos += 1
-    data = bytearray()
-    while pos < len(payload) and payload[pos]:
-        ln = payload[pos]
-        data += payload[pos + 1:pos + 1 + ln]
-        pos += 1 + ln
-
+def _gif_lzw(data: bytes, min_code: int, want: int) -> bytearray:
+    """GIF LZW decompression core → index stream (``want`` pixels) — real
+    pure-Python: variable code width with the giflib growth rule (width
+    bumps when the per-code counter exceeds 2^width, counted per code
+    read since the last CLEAR — NOT per table append, which lags one
+    behind), CLEAR/EOI handling, KwKwK case, 12-bit cap."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     base = [bytes((i,)) for i in range(1 << min_code)] + [b"", b""]
     table = list(base)
@@ -442,24 +448,178 @@ def _gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             next_code += 1
             if next_code > (1 << size) and size < 12:
                 size += 1
-
-    if len(out) < w * h:
+    if len(out) < want:
         raise ValueError("truncated GIF image data")
-    idx = out[:w * h]
+    return out
+
+
+def _gif_deinterlace(idx: bytes | bytearray, w: int, h: int) -> bytearray:
+    """De-weave the 8/8/4/2 four-pass interlaced row order."""
+    rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    de: list[bytes | bytearray | None] = [None] * h
+    for src, dst in enumerate(order):
+        de[dst] = rows[src]
+    return bytearray(b"".join(bytes(r) for r in de if r is not None))
+
+
+def _gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """GIF → (width, height, 3, RGB bytes) of the FIRST image frame — LZW
+    core in ``_gif_lzw``, then interlace de-weaving and local-over-global
+    color table mapping. GIF89a extensions (graphic control, comments)
+    are skipped; transparency is ignored (opaque RGB). Multi-frame
+    (animated) sampling lives in ``_gif_frames`` / ``sample_frames``."""
+    import struct as S
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed = S.unpack("<HHB", payload[6:11])
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF without image data")
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    else:
+        raise ValueError("truncated GIF")
+    _l, _t, w, h, ipacked = S.unpack("<HHHHB", payload[pos + 1:pos + 10])
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:  # local color table overrides global
+        n = 2 << (ipacked & 0x07)
+        ct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF without color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        ln = payload[pos]
+        data += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+
+    idx = _gif_lzw(bytes(data), min_code, w * h)[:w * h]
     if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
-        rows = [idx[r * w:(r + 1) * w] for r in range(h)]
-        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
-                 + [*range(2, h, 4)] + [*range(1, h, 2)])
-        de: list[bytes | None] = [None] * h
-        for src, dst in enumerate(order):
-            de[dst] = rows[src]
-        idx = bytearray(b"".join(r for r in de if r is not None))
+        idx = _gif_deinterlace(idx, w, h)
     px = bytearray()
     for i in idx:
         if 3 * i + 3 > len(ct):
             raise ValueError("color index out of range")
         px += ct[3 * i:3 * i + 3]
     return w, h, 3, bytes(px)
+
+
+def _gif_frames(payload: bytes) -> tuple[int, int, float, list[bytes]]:
+    """Animated GIF → (width, height, fps, [RGB bytes per frame]) — the
+    full GIF89a animation walk: every image descriptor decoded with the
+    real LZW core, COMPOSITED onto the logical-screen canvas honoring the
+    graphic-control extension's transparency index and disposal method
+    (1/none: leave; 2: restore rect to background; 3: restore previous),
+    sub-rectangle placement (left/top offsets) and per-frame local color
+    tables. fps derives from the first nonzero GCE delay (centiseconds).
+    Animated GIF is the web's de-facto short-video format, which makes
+    this the realistic frame-sampling path for a web corpus."""
+    import struct as S
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed = S.unpack("<HHB", payload[6:11])
+    bg_idx = payload[11]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+
+    def color(ct: bytes, i: int) -> bytes:
+        if 3 * i + 3 > len(ct):
+            raise ValueError("color index out of range")
+        return ct[3 * i:3 * i + 3]
+
+    bg = (color(gct, bg_idx) if gct is not None
+          and 3 * bg_idx + 3 <= len(gct) else b"\x00\x00\x00")
+    canvas = bytearray(bg * (sw * sh))
+    frames: list[bytes] = []
+    fps = 0.0
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                flags = payload[pos + 1]
+                delay = S.unpack("<H", payload[pos + 2:pos + 4])[0]
+                disposal = (flags >> 2) & 0x7
+                # GCE block from the size byte: [4][flags][d_lo][d_hi][tidx]
+                transparent = payload[pos + 4] if flags & 1 else None
+                if delay and fps == 0.0:
+                    fps = 100.0 / delay  # delay is in centiseconds
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = S.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF without color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _gif_lzw(bytes(data), min_code, w * h)[:w * h]
+            if ipacked & 0x40:
+                idx = _gif_deinterlace(idx, w, h)
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame outside logical screen")
+            before = bytes(canvas) if disposal == 3 else None
+            for r in range(h):
+                for x in range(w):
+                    i = idx[r * w + x]
+                    if i == transparent:
+                        continue
+                    o = ((top + r) * sw + left + x) * 3
+                    canvas[o:o + 3] = color(ct, i)
+            frames.append(bytes(canvas))
+            if disposal == 2:  # restore rect to background color
+                for r in range(h):
+                    o = ((top + r) * sw + left) * 3
+                    canvas[o:o + 3 * w] = bg * w
+            elif disposal == 3 and before is not None:
+                canvas = bytearray(before)
+            transparent, disposal = None, 0
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF without image data")
+    return sw, sh, fps, frames
 
 
 def decode_pixels(payload: bytes | None) -> tuple[int, int, int, bytes]:
@@ -518,5 +678,334 @@ def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             pdf["pixels"] = pd.Series(ps, dtype=object, index=pdf.index)
             pdf["decode_error"] = pd.Series(es, dtype=object, index=pdf.index)
             yield pdf
+
+    return df.mapInPandas(run, schema=schema_out)
+
+
+# --- real resize (decode + nearest-neighbor, vectorized numpy) ---------------
+
+def resize_pixels(px: bytes, w: int, h: int, nch: int,
+                  out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a raw pixel buffer — pure numpy
+    fancy-indexing (two gather ops, no Python pixel loop). Deterministic:
+    source index = floor(dst_index * src / dst), the classic NN mapping."""
+    if w <= 0 or h <= 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("non-positive dimensions")
+    arr = np.frombuffer(px, dtype=np.uint8)
+    if arr.size != w * h * nch:
+        raise ValueError("pixel buffer length mismatch")
+    arr = arr.reshape(h, w, nch)
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return arr[yi][:, xi].tobytes()
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  binary_col: str = "payload") -> DataFrame:
+    """mapInPandas: binary → decoded pixels resized to (out_w, out_h) —
+    the model-input-normalization / thumbnail step of an image curation
+    pipeline, in ONE UDF pass (decode + resize per payload; the
+    intermediate full-size pixel buffer never crosses the Arrow boundary).
+    Decode is real for PNG/BMP/PPM/GIF; JPEG and malformed payloads land
+    in ``decode_error`` (poison-safe rows, D5)."""
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("width", T.IntegerType()),
+           T.StructField("height", T.IntegerType()),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField("pixels", T.BinaryType()),
+           T.StructField("decode_error", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            ws, hs, cs, ps, es = [], [], [], [], []
+            for b in pdf[binary_col]:
+                try:
+                    w, h, c, px = decode_pixels(b)
+                    ps.append(resize_pixels(px, w, h, c, out_w, out_h))
+                    ws.append(out_w); hs.append(out_h); cs.append(c)
+                    es.append(None)
+                except Exception as e:
+                    ws.append(None); hs.append(None); cs.append(None)
+                    ps.append(None)
+                    es.append(f"{type(e).__name__}: {e}"[:200])
+            pdf["width"] = pd.array(ws, dtype="Int32")
+            pdf["height"] = pd.array(hs, dtype="Int32")
+            pdf["channels"] = pd.array(cs, dtype="Int32")
+            pdf["pixels"] = pd.Series(ps, dtype=object, index=pdf.index)
+            pdf["decode_error"] = pd.Series(es, dtype=object, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema_out)
+
+
+# --- real audio decode (RIFF/WAVE PCM + linear resample, pure numpy) ---------
+
+def _wav_samples(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE → (sample_rate, float64 samples of shape (n_frames,
+    channels) in [-1, 1)). REAL PCM decode: walks the word-aligned chunk
+    list to ``fmt `` + ``data``, accepts PCM (format tag 1) at 16-bit
+    signed or 8-bit unsigned, de-interleaves channels — the audio_io.py:
+    103-148 load step without any codec library. Compressed/float WAV
+    raises NotImplementedError (poison row, same contract as JPEG)."""
+    import struct as S
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        clen = S.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    tag, ch, rate = S.unpack("<HHI", fmt[0:8])
+    bits = S.unpack("<H", fmt[14:16])[0]
+    if tag != 1:
+        raise NotImplementedError(f"WAV format tag {tag} (only PCM)")
+    if bits == 16:
+        x = np.frombuffer(data[:len(data) - len(data) % (2 * ch)],
+                          dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data[:len(data) - len(data) % ch],
+                           dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} (only 8/16)")
+    return rate, x.reshape(-1, ch)
+
+
+def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of (n_frames, channels) samples —
+    the reference's resample-to-16k step (audio_io.py:103-148) as a
+    deterministic numpy interp: output grid t_out = arange(ceil(n *
+    dst/src)) * src/dst sampled against t_in = arange(n)."""
+    if src_rate == dst_rate or x.shape[0] == 0:
+        return x
+    n = x.shape[0]
+    n_out = int(np.ceil(n * dst_rate / src_rate))
+    t_out = np.arange(n_out) * (src_rate / dst_rate)
+    t_in = np.arange(n, dtype=np.float64)
+    return np.stack(
+        [np.interp(t_out, t_in, x[:, c]) for c in range(x.shape[1])], axis=1)
+
+
+def decode_audio(df: DataFrame, binary_col: str = "payload",
+                 target_rate: int | None = None,
+                 silence_rms: float = 0.01,
+                 window_ms: int = 20,
+                 keep_pcm: bool = True) -> DataFrame:
+    """mapInPandas: binary → real decoded PCM + energy stats. Appends
+    ``sample_rate`` (post-resample when ``target_rate`` is set),
+    ``channels``, ``n_frames``, ``duration_s``, ``rms``,
+    ``silence_ratio`` (fraction of ``window_ms`` windows whose RMS is
+    below ``silence_rms`` — the energy-gate VAD analog a curation filter
+    reads), ``pcm`` (int16 little-endian interleaved, after resample) and
+    ``decode_error``. Non-PCM / non-WAV payloads are poison rows (D5).
+
+    ``keep_pcm=False`` drops the decoded sample column from the OUTPUT
+    schema: a filter-only caller (keep/drop on duration, rms,
+    silence_ratio) should not shuffle decoded PCM — at corpus scale the
+    decoded samples are the dominant bytes of the row."""
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("sample_rate", T.IntegerType()),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField("n_frames", T.IntegerType()),
+           T.StructField("duration_s", T.DoubleType()),
+           T.StructField("rms", T.DoubleType()),
+           T.StructField("silence_ratio", T.DoubleType())]
+        + ([T.StructField("pcm", T.BinaryType())] if keep_pcm else [])
+        + [T.StructField("decode_error", T.StringType())]
+    )
+
+    def one(b: bytes | None) -> tuple:
+        rate, x = _wav_samples(b if b else b"")
+        if target_rate is not None:
+            x, rate = resample_linear(x, rate, target_rate), target_rate
+        mono = x.mean(axis=1) if x.size else np.zeros(0)
+        rms = float(np.sqrt(np.mean(mono * mono))) if mono.size else 0.0
+        win = max(1, rate * window_ms // 1000)
+        n_win = mono.size // win
+        if n_win:
+            w = mono[:n_win * win].reshape(n_win, win)
+            wrms = np.sqrt(np.mean(w * w, axis=1))
+            silence = float(np.mean(wrms < silence_rms))
+        else:
+            silence = 1.0
+        pcm = (np.clip(x, -1.0, 1.0 - 1.0 / 32768) * 32768.0) \
+            .astype("<i2").tobytes()
+        return (rate, x.shape[1], x.shape[0],
+                x.shape[0] / rate if rate else 0.0, rms, silence, pcm)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            cols: list[list] = [[] for _ in range(8)]
+            for b in pdf[binary_col]:
+                try:
+                    vals = (*one(b), None)
+                except Exception as e:
+                    vals = (None,) * 7 + (f"{type(e).__name__}: {e}"[:200],)
+                for lst, v in zip(cols, vals):
+                    lst.append(v)
+            pdf["sample_rate"] = pd.array(cols[0], dtype="Int32")
+            pdf["channels"] = pd.array(cols[1], dtype="Int32")
+            pdf["n_frames"] = pd.array(cols[2], dtype="Int32")
+            pdf["duration_s"] = pd.array(cols[3], dtype="Float64")
+            pdf["rms"] = pd.array(cols[4], dtype="Float64")
+            pdf["silence_ratio"] = pd.array(cols[5], dtype="Float64")
+            if keep_pcm:
+                pdf["pcm"] = pd.Series(cols[6], dtype=object, index=pdf.index)
+            pdf["decode_error"] = pd.Series(cols[7], dtype=object,
+                                            index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema_out)
+
+
+# --- real video frame sampling (Y4M/YUV4MPEG2, pure byte parsing) ------------
+
+def _y4m_frames(payload: bytes) -> tuple[int, int, float, list[bytes]]:
+    """YUV4MPEG2 stream → (width, height, fps, [luma plane per frame]) —
+    REAL parse of the uncompressed y4m interchange format (mjpegtools):
+    space-separated header params (W/H/F fps-ratio/C chroma mode), then
+    one ``FRAME`` marker + planar YUV payload per frame. The luma (Y)
+    plane is returned per frame as grayscale pixels; chroma subsampling
+    only changes the per-frame stride (420: 1.5·wh, 422: 2·wh, 444:
+    3·wh, mono: wh)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    w = h = None
+    fps = 0.0
+    chroma = b"420"
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) / int(den) if int(den) else 0.0
+        elif tok[:1] == b"C":
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m without W/H")
+    luma = w * h
+    frame_len = {
+        b"420": luma * 3 // 2, b"420jpeg": luma * 3 // 2,
+        b"420mpeg2": luma * 3 // 2, b"420paldv": luma * 3 // 2,
+        b"422": luma * 2, b"444": luma * 3, b"mono": luma,
+    }.get(chroma)
+    if frame_len is None:
+        raise NotImplementedError(f"y4m chroma mode {chroma.decode()}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        body = payload[fnl + 1:fnl + 1 + frame_len]
+        if len(body) < frame_len:
+            raise ValueError("truncated y4m frame")
+        frames.append(body[:luma])
+        pos = fnl + 1 + frame_len
+    return w, h, fps, frames
+
+
+def sample_frames(df: DataFrame, binary_col: str = "payload",
+                  every_k: int = 1,
+                  max_frames: int | None = None) -> DataFrame:
+    """mapInPandas row-explode: video binary → one output row per sampled
+    frame (every ``every_k``-th, at most ``max_frames``) with
+    ``frame_idx``, ``n_frames_total``, ``fps``, dimensions and ``pixels``
+    — the frame-sampling front of a video curation pipeline. REAL decode
+    for Y4M uncompressed streams (grayscale luma plane per frame) AND
+    animated GIF (RGB frames, full GCE disposal/transparency compositing
+    via the LZW core — the web's de-facto short-video format); MP4/MKV/
+    AVI are codec-bound and yield a single poison row each
+    (``decode_error`` set, ``frame_idx`` NULL — D5, never a dead task).
+
+    Unlike the append-only decoders, the source ``binary_col`` is DROPPED
+    from the output: an exploded result that re-carried the whole video
+    payload on every frame row would multiply the binary by the frame
+    count — the exact shuffle-amplification this module exists to avoid."""
+    from pyspark.sql import types as T
+
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    schema_out = T.StructType(
+        [f for f in df.schema.fields if f.name != binary_col]
+        + [T.StructField("frame_idx", T.IntegerType()),
+           T.StructField("n_frames_total", T.IntegerType()),
+           T.StructField("fps", T.DoubleType()),
+           T.StructField("width", T.IntegerType()),
+           T.StructField("height", T.IntegerType()),
+           T.StructField("channels", T.IntegerType()),
+           T.StructField("pixels", T.BinaryType()),
+           T.StructField("decode_error", T.StringType())]
+    )
+
+    def sniff_video(b: bytes) -> str | None:
+        if b[4:8] == b"ftyp":
+            return "MP4"
+        if b[:4] == b"\x1a\x45\xdf\xa3":
+            return "MKV/WebM"
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return "AVI"
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                b = row[binary_col]
+                base = row.drop(binary_col).to_dict()
+                try:
+                    container = sniff_video(b or b"")
+                    if container is not None:
+                        raise NotImplementedError(
+                            f"{container} frame decode requires a video "
+                            "codec library")
+                    if (b or b"")[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, fps, frames = _gif_frames(b)
+                        nch = 3
+                    else:
+                        w, h, fps, frames = _y4m_frames(b if b else b"")
+                        nch = 1
+                    idxs = range(0, len(frames), every_k)
+                    if max_frames is not None:
+                        idxs = list(idxs)[:max_frames]
+                    for i in idxs:
+                        out_rows.append({**base, "frame_idx": i,
+                                         "n_frames_total": len(frames),
+                                         "fps": fps, "width": w, "height": h,
+                                         "channels": nch, "pixels": frames[i],
+                                         "decode_error": None})
+                except Exception as e:
+                    out_rows.append({**base, "frame_idx": None,
+                                     "n_frames_total": None, "fps": None,
+                                     "width": None, "height": None,
+                                     "channels": None, "pixels": None,
+                                     "decode_error":
+                                         f"{type(e).__name__}: {e}"[:200]})
+            out = pd.DataFrame(out_rows, columns=[f.name for f in schema_out])
+            for c in ("frame_idx", "n_frames_total", "width", "height",
+                      "channels"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
 
     return df.mapInPandas(run, schema=schema_out)

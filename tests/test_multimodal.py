@@ -395,3 +395,333 @@ def test_png_palette_index_out_of_range_is_error_row(spark):
     row = MM.decode_image(df).collect()[0]
     assert row["pixels"] is None
     assert "palette index out of range" in row["decode_error"]
+
+
+# --- resize / audio decode / frame sampling ----------------------------------
+
+
+def _wav_full(samples, channels=1, rate=8000, bits=16):
+    """Full RIFF/WAVE with real PCM data. ``samples`` is a flat interleaved
+    list of int16 values (or 0-255 ints for bits=8)."""
+    if bits == 16:
+        data = b"".join(_S.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    fmt = _S.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                  channels * bits // 8, bits)
+    return (b"RIFF" + _S.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _S.pack("<I", 16) + fmt
+            + b"data" + _S.pack("<I", len(data)) + data)
+
+
+def _y4m(frames_y, w, h, fps=(25, 1), chroma=b"420"):
+    """YUV4MPEG2 stream: each frames_y entry is w*h luma bytes; chroma
+    planes are zero-filled at the mode's subsampling."""
+    extra = {b"420": w * h // 2, b"422": w * h, b"444": w * h * 2,
+             b"mono": 0}.get(chroma, 0)
+    head = b"YUV4MPEG2 W%d H%d F%d:%d C%s\n" % (w, h, *fps, chroma)
+    return head + b"".join(
+        b"FRAME\n" + y + b"\x00" * extra for y in frames_y)
+
+
+def test_resize_pixels_nearest_golden():
+    # 2x2 RGB: R G / B W → 4x4 duplicates each source pixel into a 2x2 block
+    px = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    out = MM.resize_pixels(px, 2, 2, 3, 4, 4)
+    want_rows = [
+        (255, 0, 0) * 2 + (0, 255, 0) * 2,
+        (255, 0, 0) * 2 + (0, 255, 0) * 2,
+        (0, 0, 255) * 2 + (255, 255, 255) * 2,
+        (0, 0, 255) * 2 + (255, 255, 255) * 2,
+    ]
+    assert out == b"".join(bytes(r) for r in want_rows)
+    # downscale 4x4 → 2x2 picks source pixels (0,0),(0,2),(2,0),(2,2)
+    back = MM.resize_pixels(out, 4, 4, 3, 2, 2)
+    assert back == px
+    with pytest.raises(ValueError, match="length mismatch"):
+        MM.resize_pixels(px, 3, 3, 3, 2, 2)
+    with pytest.raises(ValueError, match="non-positive"):
+        MM.resize_pixels(px, 2, 2, 3, 0, 2)
+
+
+def test_resize_images_dataframe(spark):
+    w, h = 4, 2
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + bytes(range(w * h * 3))
+    rows = [(0, ppm), (1, b"\xff\xd8\xff jpeg"), (2, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in
+           MM.resize_images(df, 2, 2).orderBy("id").collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (2, 2, 3)
+    src = bytes(range(w * h * 3))
+    want = (src[0:3] + src[6:9]          # row 0: x=0,2
+            + src[12:15] + src[18:21])   # row 1 (y=1): x=0,2
+    assert bytes(got[0]["pixels"]) == want
+    assert got[1]["pixels"] is None and "JPEG" in got[1]["decode_error"]
+    assert got[2]["decode_error"] is not None  # poison, not a dead task
+
+
+def test_wav_samples_16_and_8_bit():
+    rate, x = MM._wav_samples(_wav_full([0, 16384, -16384, -32768], 1, 8000))
+    assert rate == 8000 and x.shape == (4, 1)
+    assert x[:, 0].tolist() == [0.0, 0.5, -0.5, -1.0]
+    rate, x = MM._wav_samples(
+        _wav_full([128, 255, 0, 128], channels=2, rate=4000, bits=8))
+    assert rate == 4000 and x.shape == (2, 2)
+    assert x[0].tolist() == [0.0, (255 - 128) / 128.0]
+    with pytest.raises(NotImplementedError, match="format tag"):
+        bad = _wav_full([0], 1, 8000).replace(
+            _S.pack("<HH", 1, 1), _S.pack("<HH", 3, 1), 1)
+        MM._wav_samples(bad)
+
+
+def test_resample_linear_halves_and_doubles():
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64).reshape(-1, 1)
+    down = MM.resample_linear(x, 8000, 4000)
+    assert down[:, 0].tolist() == [0.0, 2.0, 4.0, 6.0]
+    up = MM.resample_linear(x, 8000, 16000)
+    assert up.shape == (16, 1)
+    assert up[:4, 0].tolist() == [0.0, 0.5, 1.0, 1.5]
+    same = MM.resample_linear(x, 8000, 8000)
+    assert same is x
+
+
+def test_decode_audio_dataframe(spark):
+    # 100 frames of silence then 100 of full-scale square wave @ 8 kHz
+    loud = [0x4000 if i % 2 else -0x4000 for i in range(100)]
+    wav = _wav_full([0] * 100 + loud, 1, 8000)
+    rows = [(0, wav), (1, b"RIFF????WAVEjunk"), (2, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in
+           MM.decode_audio(df, window_ms=10).orderBy("id").collect()}
+    ok = got[0]
+    assert (ok["sample_rate"], ok["channels"], ok["n_frames"]) == (8000, 1, 200)
+    assert ok["duration_s"] == pytest.approx(0.025)
+    assert ok["rms"] == pytest.approx((0.25 / 2) ** 0.5, rel=1e-6)
+    # 10 ms windows @8kHz = 80 frames/window → 2 full windows: 1 silent
+    assert ok["silence_ratio"] == pytest.approx(0.5)
+    assert len(bytes(ok["pcm"])) == 400  # int16 out
+    assert got[1]["decode_error"] is not None
+    assert got[2]["decode_error"] is not None
+
+
+def test_decode_audio_resamples_to_target_rate(spark):
+    wav = _wav_full(list(range(0, 8000, 100)) * 2, 1, 16000)  # 160 frames
+    df = spark.createDataFrame([(0, wav)], "id long, payload binary")
+    row = MM.decode_audio(df, target_rate=8000).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["n_frames"] == 80
+    assert row["duration_s"] == pytest.approx(0.01)
+
+
+def test_y4m_frames_modes_and_errors():
+    y0, y1 = bytes(range(6)) * 1, bytes(range(6, 12))
+    w, h = 3, 2
+    wid, hei, fps, frames = MM._y4m_frames(_y4m([y0, y1], w, h))
+    assert (wid, hei, fps) == (3, 2, 25.0)
+    assert frames == [y0, y1]
+    _, _, _, f444 = MM._y4m_frames(_y4m([y0], w, h, chroma=b"444"))
+    assert f444 == [y0]
+    _, _, _, fmono = MM._y4m_frames(_y4m([y0], w, h, chroma=b"mono"))
+    assert fmono == [y0]
+    with pytest.raises(ValueError, match="truncated y4m frame"):
+        MM._y4m_frames(_y4m([y0], w, h)[:-4])
+    with pytest.raises(NotImplementedError, match="chroma"):
+        MM._y4m_frames(_y4m([y0], w, h, chroma=b"411"))
+
+
+def test_sample_frames_dataframe_explodes_and_drops_payload(spark):
+    w, h = 4, 2
+    frames = [bytes([i] * (w * h)) for i in range(10)]
+    rows = [(0, _y4m(frames, w, h)),
+            (1, b"\x00\x00\x00\x18ftypisom rest"),   # MP4: poison
+            (2, None)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = MM.sample_frames(df, every_k=3, max_frames=3).orderBy(
+        "id", "frame_idx").collect()
+    assert "payload" not in out[0].asDict()  # binary NOT re-carried per frame
+    sampled = [r for r in out if r["id"] == 0]
+    assert [r["frame_idx"] for r in sampled] == [0, 3, 6]  # every 3rd, cap 3
+    assert all(r["n_frames_total"] == 10 and r["fps"] == 25.0
+               and (r["width"], r["height"], r["channels"]) == (w, h, 1)
+               for r in sampled)
+    assert bytes(sampled[1]["pixels"]) == frames[3]
+    poison = {r["id"]: r for r in out if r["id"] != 0}
+    assert "MP4" in poison[1]["decode_error"]
+    assert poison[1]["frame_idx"] is None
+    assert poison[2]["decode_error"] is not None
+
+
+# --- property tests (pure Python, no Spark) ----------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=2, max_size=64),
+       channels=st.sampled_from([1, 2]),
+       rate=st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_property(samples, channels, rate):
+    """encode → _wav_samples recovers every int16 sample exactly (/32768)."""
+    samples = samples[:len(samples) - len(samples) % channels]
+    if not samples:
+        samples = [0] * channels
+    rate_out, x = MM._wav_samples(_wav_full(samples, channels, rate))
+    assert rate_out == rate
+    flat = [int(round(v * 32768.0)) for v in x.reshape(-1)]
+    assert flat == samples
+
+
+@given(w=st.integers(1, 8), h=st.integers(1, 8), nch=st.sampled_from([1, 3]),
+       ow=st.integers(1, 8), oh=st.integers(1, 8),
+       data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_resize_property(w, h, nch, ow, oh, data):
+    """Identity at same size; every output pixel exists in the source;
+    output length is exactly ow*oh*nch."""
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h * nch,
+                                  max_size=w * h * nch)))
+    out = MM.resize_pixels(px, w, h, nch, ow, oh)
+    assert len(out) == ow * oh * nch
+    if (ow, oh) == (w, h):
+        assert out == px
+    src_px = {px[i:i + nch] for i in range(0, len(px), nch)}
+    assert all(out[i:i + nch] in src_px for i in range(0, len(out), nch))
+
+
+@given(n=st.integers(0, 6), w=st.integers(1, 6), h=st.integers(1, 6),
+       k=st.integers(1, 4),
+       chroma=st.sampled_from([b"420", b"422", b"444", b"mono"]),
+       data=st.data())
+@settings(max_examples=50, deadline=None)
+def test_y4m_property(n, w, h, k, chroma, data):
+    """Parse recovers every frame byte-exactly in order for all chroma
+    modes; every-k sampling indices are 0, k, 2k, ..."""
+    frames = [bytes(data.draw(st.lists(st.integers(0, 255),
+                                       min_size=w * h, max_size=w * h)))
+              for _ in range(n)]
+    wid, hei, _, got = MM._y4m_frames(_y4m(frames, w, h, chroma=chroma))
+    assert (wid, hei) == (w, h)
+    assert got == frames
+    assert list(range(0, n, k)) == [i for i in range(0, len(got), k)]
+
+
+def test_decode_header_mp3():
+    # bare frame: MPEG1 Layer III, 44100 Hz, stereo (sync FF FB 90 00)
+    bare = bytes((0xFF, 0xFB, 0x90, 0x00)) + b"\x00" * 16
+    got = decode_header(bare)
+    assert (got["kind"], got["sample_rate"], got["channels"]) \
+        == ("mp3", 44100, 2)
+    # ID3v2-prefixed (syncsafe size 5), mono MPEG2 @ 16 kHz
+    frame = bytes((0xFF, 0xF3, 0x98, 0xC0))  # ver=2, III, sr_idx=2, mono
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\x00" * 5 + frame
+    got = decode_header(tagged)
+    assert (got["kind"], got["sample_rate"], got["channels"]) \
+        == ("mp3", 16000, 1)
+    # ID3 with no sync after it → poison, not a raise
+    assert decode_header(b"ID3\x04\x00\x00\x00\x00\x00\x00")["error"]
+
+
+# --- animated GIF frame walk -------------------------------------------------
+
+
+def _agif(sw, sh, palette, items, min_code=2, bg=0):
+    """GIF89a animation encoder for golden tests: each item is a dict with
+    w/h/indices and optional left/top/delay/disposal/transparent."""
+    out = bytearray(b"GIF89a")
+    out += _S.pack("<HHBBB", sw, sh, 0x80 | (min_code - 1), bg, 0)
+    out += palette
+    for it in items:
+        tr = it.get("transparent")
+        flags = (it.get("disposal", 0) << 2) | (1 if tr is not None else 0)
+        out += (b"\x21\xf9\x04" + bytes([flags])
+                + _S.pack("<H", it.get("delay", 0))
+                + bytes([tr if tr is not None else 0]) + b"\x00")
+        w, h = it["w"], it["h"]
+        out += b"\x2c" + _S.pack("<HHHHB", it.get("left", 0),
+                                 it.get("top", 0), w, h, 0)
+        out += bytes([min_code])
+        data = _lzw_encode(bytes(it["indices"]), min_code)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _rgb(*idx):
+    return b"".join(_GIF_PALETTE[3 * i:3 * i + 3] for i in idx)
+
+
+def test_gif_frames_composites_subrect_and_fps():
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "indices": [0, 1, 2, 3], "delay": 5},
+        {"w": 1, "h": 1, "left": 1, "top": 1, "indices": [0]},
+    ])
+    w, h, fps, frames = MM._gif_frames(payload)
+    assert (w, h, fps) == (2, 2, 20.0)
+    assert frames == [_rgb(0, 1, 2, 3), _rgb(0, 1, 2, 0)]
+
+
+def test_gif_frames_transparency_keeps_underlying_pixels():
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "indices": [0, 1, 2, 3]},
+        {"w": 2, "h": 2, "indices": [1, 3, 3, 0], "transparent": 3},
+    ])
+    _, _, _, frames = MM._gif_frames(payload)
+    assert frames[1] == _rgb(1, 1, 2, 0)  # transparent 3 → underlying shows
+
+
+def test_gif_frames_disposal_background_and_previous():
+    # disposal 2: after the frame, its rect reverts to the background color
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "indices": [0, 0, 0, 0], "disposal": 2},
+        {"w": 1, "h": 1, "indices": [1]},
+    ], bg=2)
+    _, _, _, frames = MM._gif_frames(payload)
+    assert frames[0] == _rgb(0, 0, 0, 0)
+    assert frames[1] == _rgb(1, 2, 2, 2)  # bg (index 2) shows outside rect
+    # disposal 3: after the frame, the canvas reverts to the previous state
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "indices": [0, 1, 2, 3]},
+        {"w": 1, "h": 1, "indices": [1], "disposal": 3},
+        {"w": 1, "h": 1, "left": 1, "top": 1, "indices": [0]},
+    ])
+    _, _, _, frames = MM._gif_frames(payload)
+    assert frames == [_rgb(0, 1, 2, 3), _rgb(1, 1, 2, 3), _rgb(0, 1, 2, 0)]
+
+
+def test_gif_frames_rejects_out_of_screen_rect():
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "left": 1, "indices": [0, 1, 2, 3]},
+    ])
+    with pytest.raises(ValueError, match="outside logical screen"):
+        MM._gif_frames(payload)
+
+
+def test_sample_frames_animated_gif(spark):
+    payload = _agif(2, 2, _GIF_PALETTE, [
+        {"w": 2, "h": 2, "indices": [0, 1, 2, 3], "delay": 10},
+        {"w": 1, "h": 1, "indices": [1]},
+        {"w": 1, "h": 1, "left": 1, "indices": [2]},
+        {"w": 1, "h": 1, "top": 1, "indices": [3]},
+    ])
+    df = spark.createDataFrame([(7, payload)], "id long, payload binary")
+    out = MM.sample_frames(df, every_k=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 2]
+    assert all(r["n_frames_total"] == 4 and r["fps"] == 10.0
+               and (r["width"], r["height"], r["channels"]) == (2, 2, 3)
+               for r in out)
+    assert bytes(out[0]["pixels"]) == _rgb(0, 1, 2, 3)
+    assert bytes(out[1]["pixels"]) == _rgb(1, 2, 2, 3)
+
+
+def test_decode_audio_keep_pcm_false_drops_sample_bytes(spark):
+    wav = _wav_full([0, 100, -100, 200], 1, 8000)
+    df = spark.createDataFrame([(0, wav)], "id long, payload binary")
+    out = MM.decode_audio(df, keep_pcm=False)
+    assert "pcm" not in out.columns  # stats-only: no decoded bytes shuffled
+    row = out.collect()[0]
+    assert row["n_frames"] == 4 and row["decode_error"] is None
