@@ -769,18 +769,61 @@ def q_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(F.count(F.lit(1)).alias("survivors"))
 
 
+_MM_FIXTURE = str(Path(__file__).resolve().parent
+                  / ".fixtures" / "mm_decode.parquet")
+
+
 def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: typed metadata over a binary payload column
-    (documents.text re-encoded, since testdata ships no blob column)."""
+    """Multimodal contract query, two value-checked halves (round-5
+    verdict ask #3 — the real decoders under the hash gate):
+
+    1. typed-metadata sniff over a binary payload column (documents.text
+       re-encoded, since testdata ships no blob column);
+    2. REAL pixel/PCM decode over the deterministic `fixtures_mm` payload
+       table (PNG all-filters/gray/RGBA/palette, BMP, PPM, GIF static +
+       interlaced, WAV 16/8-bit, plus truncation/JPEG/garbage poison
+       rows): the Spark side decodes via ``multimodal.decode_image`` /
+       ``decode_audio`` and emits md5(pixel|pcm bytes); the DuckDB
+       oracle selects the expected columns that the encode-side twins
+       wrote from ground truth — a decoder bug on either side is a hash
+       mismatch, and poison rows must land as decode_ok=false with all
+       metrics NULL (D5)."""
+    from langid_mr_spark import fixtures_mm as FX
     from langid_mr_spark import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "utf-8")
-    return docs.select(
-        "doc_id",
-        MM.sniff_format(payload).alias("format"),
+    ni = F.lit(None).cast("int")
+    doc_part = docs.select(
+        F.lit("doc").alias("src"),
+        F.col("doc_id").alias("id"),
+        MM.sniff_format(payload).alias("kind"),
         F.length(payload).cast("long").alias("size_bytes"),
-    ).orderBy("doc_id")
+        ni.alias("width"), ni.alias("height"), ni.alias("channels"),
+        ni.alias("rate"), ni.alias("n_frames"),
+        F.lit(None).cast("string").alias("content_md5"),
+        F.lit(None).cast("boolean").alias("decode_ok"),
+    )
+
+    fx = spark.read.parquet(str(FX.ensure_decode_fixture(_MM_FIXTURE))) \
+        .select("id", "kind", "payload")
+    img = MM.decode_image(fx.filter(F.col("kind") != "wav")).select(
+        F.lit("fixture").alias("src"), "id", "kind",
+        F.length("payload").cast("long").alias("size_bytes"),
+        "width", "height", "channels",
+        ni.alias("rate"), ni.alias("n_frames"),
+        F.md5("pixels").alias("content_md5"),
+        F.col("decode_error").isNull().alias("decode_ok"),
+    )
+    aud = MM.decode_audio(fx.filter(F.col("kind") == "wav")).select(
+        F.lit("fixture").alias("src"), "id", "kind",
+        F.length("payload").cast("long").alias("size_bytes"),
+        ni.alias("width"), ni.alias("height"), "channels",
+        F.col("sample_rate").alias("rate"), "n_frames",
+        F.md5("pcm").alias("content_md5"),
+        F.col("decode_error").isNull().alias("decode_ok"),
+    )
+    return doc_part.unionByName(img).unionByName(aud).orderBy("src", "id")
 
 
 def _sql_quote(words) -> str:
@@ -820,6 +863,40 @@ def _scrub_detector_sql() -> str:
     return (
         f"SELECT doc_id, NOT ({det}) AS unchanged "
         "FROM documents ORDER BY doc_id"
+    )
+
+
+def _binary_metadata_sql() -> str:
+    """Oracle for the two-part binary_metadata query: the documents sniff
+    replica plus the decode-fixture EXPECTED columns (written from ground
+    truth by the encode-side twins in fixtures_mm — see
+    q_binary_metadata). ``ensure_decode_fixture`` is idempotent/atomic,
+    so calling it here too makes the oracle self-sufficient even if it
+    runs before the Spark side."""
+    from langid_mr_spark import fixtures_mm as FX
+
+    path = FX.ensure_decode_fixture(_MM_FIXTURE)
+    return (
+        "SELECT 'doc' AS src, doc_id AS id, "
+        "CASE WHEN starts_with(text, '<html') THEN 'html' "
+        " WHEN starts_with(text, '<!doc') THEN 'html' "
+        " ELSE 'unknown' END AS kind, "
+        "octet_length(encode(text)) AS size_bytes, "
+        "CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height, "
+        "CAST(NULL AS INTEGER) AS channels, CAST(NULL AS INTEGER) AS rate, "
+        "CAST(NULL AS INTEGER) AS n_frames, "
+        "CAST(NULL AS VARCHAR) AS content_md5, "
+        "CAST(NULL AS BOOLEAN) AS decode_ok "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'fixture' AS src, id, kind, "
+        "octet_length(payload) AS size_bytes, "
+        "exp_width AS width, exp_height AS height, "
+        "exp_channels AS channels, exp_rate AS rate, "
+        "exp_n_frames AS n_frames, exp_md5 AS content_md5, "
+        "exp_ok AS decode_ok "
+        f"FROM read_parquet('{path}') "
+        "ORDER BY src, id"
     )
 
 
@@ -1733,13 +1810,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS uid_sum "
             "FROM events GROUP BY 1 ORDER BY et"
         ),
-        "binary_metadata": (
-            "SELECT doc_id, "
-            "CASE WHEN starts_with(text, '<html') THEN 'html' "
-            " WHEN starts_with(text, '<!doc') THEN 'html' "
-            " ELSE 'unknown' END AS format, "
-            "octet_length(encode(text)) AS size_bytes "
-            "FROM documents ORDER BY doc_id"
-        ),
+        "binary_metadata": _binary_metadata_sql(),
         "scrub": _scrub_detector_sql(),
     }

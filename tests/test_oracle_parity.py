@@ -126,3 +126,35 @@ def test_top50_avg_duration_semantics(spark, em):
     assert got["avg_duration"] == round((7.5 + 2.0) / 2, 2)
     empty = em.top_recent_avg_duration(ev.filter(F.lit(False))).collect()[0]
     assert empty["avg_duration"] == 0.0
+
+
+def test_binary_metadata_decode_contract(spark, em):
+    """Round-5 fold (verdict ask #3): the REAL pixel/PCM decoders run
+    under the exact driver compare — Spark decode md5s vs the
+    encode-side ground-truth columns in the fixtures_mm parquet, plus
+    the documents sniff half, normalized the way the driver hashes rows
+    (repr per value, columns sorted by name)."""
+    sf = "/root/testdata/sf0.001"
+    sdf = em.queries()["binary_metadata"](spark, sf)
+    srows = [r.asDict() for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    cur = con.execute(em.oracle_sql()["binary_metadata"])
+    cols = [d[0] for d in cur.description]
+    orows = [dict(zip(cols, r)) for r in cur.fetchall()]
+
+    def norm(rows):
+        return sorted(tuple(repr(d[c]) for c in sorted(d)) for d in rows)
+
+    assert len(srows) == len(orows)
+    assert sorted(srows[0]) == sorted(orows[0])
+    assert norm(srows) == norm(orows)
+    # the decode half must really contain both green and poison rows
+    fx = [d for d in srows if d["src"] == "fixture"]
+    assert sum(1 for d in fx if d["decode_ok"] is True) == 10
+    assert sum(1 for d in fx if d["decode_ok"] is False) == 4
+    for d in fx:
+        if d["decode_ok"] is False:  # D5: poison rows, all metrics NULL
+            assert d["content_md5"] is None and d["width"] is None
+            assert d["rate"] is None and d["n_frames"] is None
