@@ -66,7 +66,8 @@ def streaming_exact_dedup(
     id_col: str = "url",
     text_col: str = "text",
     carry_cols: tuple[str, ...] = ("warc_ts",),
-) -> None:
+    state_ttl_minutes: int | None = None,
+) -> dict | None:
     """Cross-micro-batch EXACT dedup via ``applyInPandasWithState``: a
     document whose content hash was seen in ANY earlier micro-batch (or
     earlier in this one) is flagged a duplicate of the first-seen id.
@@ -82,9 +83,30 @@ def streaming_exact_dedup(
     is frame-equal to the batch operator (asserted by
     tests/test_streaming.py and the ``streaming_dedup_replay`` contract
     query); across separate drains the earlier-seen id stays canonical
-    (first-seen-wins, the incremental semantics)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    (first-seen-wins, the incremental semantics).
+
+    **State sizing rule (round-5 verdict ask #8).** The seen-set grows
+    with DISTINCT content hashes, one state row per key: a 32-char md5
+    key + (first_id, first_batch) UnsafeRows — measured ≈ 400 bytes/key
+    in the default HDFS-backed store (tests/test_streaming.py pins
+    < 1 KiB/key via the query's own ``stateOperators`` metrics). The
+    store shards across ``spark.sql.shuffle.partitions`` tasks, so
+    per-executor memory ≈ distinct_keys × ~400 B / shards: at 10^9
+    distinct docs and 2000 shards that is ~200 MB per shard — fine
+    in-heap; at 10^12 keys switch the store to RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) so shards spill
+    to local disk, and/or bound the set with ``state_ttl_minutes``.
+
+    ``state_ttl_minutes`` (None = exact, unbounded) arms a sliding
+    processing-time timeout per key: a hash not seen for that long is
+    evicted, turning exact dedup into recency-windowed dedup — a
+    re-crawl after the window is no longer flagged. That trade is the
+    standard bounded-state answer when the corpus is effectively
+    unbounded (the reference service's SQLite seen-set has the same
+    growth, minus the knob). Returns the final query progress dict
+    (``stateOperators[0]`` carries numRowsTotal / memoryUsedBytes) so
+    callers can record state size in lineage metrics."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (
         spark.readStream.schema(schema)
@@ -102,7 +124,40 @@ def streaming_exact_dedup(
     )
     state_type = f"first_id {types[id_col]}, first_batch long"
 
-    def dedup_group(key, pdfs, state: GroupState):
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
+    deduped = stream.groupBy("h").applyInPandasWithState(
+        make_dedup_group(id_col, ttl_ms),
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.NoTimeout if ttl_ms is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
+    )
+
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.lastProgress
+
+
+def make_dedup_group(id_col: str, ttl_ms: int | None):
+    """The applyInPandasWithState group function for
+    :func:`streaming_exact_dedup` — module-level factory so the TTL
+    eviction branch is unit-testable with a fake GroupState. When
+    ``ttl_ms`` is set, every visit re-arms a sliding processing-time
+    timeout; the timeout invocation (no rows) evicts the key."""
+    import pandas as pd
+
+    def dedup_group(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # recency window expired: forget the key
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(id_col, kind="mergesort")
         if state.exists:
@@ -115,27 +170,13 @@ def streaming_exact_dedup(
             batch_no = 0
             dup_mask = [u != canonical for u in rows[id_col]]
             state.update((canonical, batch_no))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # sliding window re-arm
         rows["is_duplicate"] = dup_mask
         rows[f"canonical_{id_col}"] = canonical
         yield rows
 
-    deduped = stream.groupBy("h").applyInPandasWithState(
-        dedup_group,
-        outputStructType=out_type,
-        stateStructType=state_type,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-    (
-        deduped.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    return dedup_group
 
 
 def windowed_throughput(spark: SparkSession, output_dir: str,

@@ -109,3 +109,79 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert r2["u4"]["is_duplicate"] is True
     assert r2["u4"]["canonical_url"] == "u1"
     assert r2["u5"]["is_duplicate"] is False
+
+
+def test_streaming_dedup_state_size_metrics(spark, tmp_path):
+    """Round-5 verdict ask #8: pin the state sizing rule with the query's
+    own stateOperators metrics — one state row per DISTINCT content
+    hash, and the docstring's per-key budget (< 1 KiB/key in the default
+    HDFS-backed store) holds at N keys."""
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+    n_distinct = 40
+    rows = [(f"u{i}", ts, b"x", f"text number {i % n_distinct}", "en", "f")
+            for i in range(100)]
+    inp = str(tmp_path / "min")
+    spark.createDataFrame(rows, schema=fixtures.INPUT_SCHEMA) \
+        .coalesce(2).write.parquet(inp)
+    progress = streaming.streaming_exact_dedup(
+        spark, inp, str(tmp_path / "mout"), str(tmp_path / "mckpt"))
+    assert progress is not None
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] == n_distinct
+    per_key = ops[0]["stateMemory" if "stateMemory" in ops[0]
+                     else "memoryUsedBytes"] / n_distinct
+    assert per_key < 1024, f"state {per_key:.0f} B/key breaks the budget"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the group fn."""
+
+    def __init__(self, stored=None, timed_out=False):
+        self._stored = stored
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._stored is not None
+
+    @property
+    def get(self):
+        return self._stored
+
+    def update(self, v):
+        self._stored = tuple(v)
+
+    def remove(self):
+        self.removed = True
+        self._stored = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_dedup_group_ttl_eviction_branch():
+    """TTL mode: a timed-out invocation (no rows) must evict the key and
+    emit nothing; a live visit must re-arm the sliding timeout."""
+    import pandas as pd
+
+    fn = streaming.make_dedup_group("url", ttl_ms=60_000)
+    st = _FakeState(stored=("u1", 0), timed_out=True)
+    assert list(fn(("h",), iter([]), st)) == []
+    assert st.removed
+
+    st2 = _FakeState()
+    pdf = pd.DataFrame({"url": ["u2", "u1"], "warc_ts": [None, None],
+                        "h": ["h", "h"]})
+    out = list(fn(("h",), iter([pdf]), st2))
+    assert st2.timeout_set == 60_000          # sliding window armed
+    assert st2._stored[0] == "u1"             # canonical = min id
+    assert sorted(out[0]["is_duplicate"]) == [False, True]
+
+    # exact mode (ttl None) must never touch timeout APIs
+    fn0 = streaming.make_dedup_group("url", ttl_ms=None)
+    st3 = _FakeState()
+    list(fn0(("h",), iter([pdf]), st3))
+    assert st3.timeout_set is None
