@@ -79,7 +79,18 @@ def _probe_wide_ms(nproc: int = 32) -> float:
     crowded inherited core until the load balancer migrates it (the
     current CPU is still in the mask), which measured ~1.4× inflation
     under a confined parent; pinning to a single out-of-mask core forces
-    the migration immediately and spreads the loops deterministically."""
+    the migration immediately and spreads the loops deterministically.
+
+    Deadlock-proof (round-4 advice): the parent closes its copy of the
+    write end BEFORE reading, so if a child dies without writing (e.g.
+    sched_setaffinity on an offline core raising inside the try, which
+    the ``finally: os._exit(0)`` would otherwise swallow silently) the
+    read loop sees EOF instead of blocking forever. Children that fail
+    are simply missing samples; if fewer than half report, the whole
+    wide reading is discarded and the single-thread probe stands in
+    (pessimistic for admission: a lone probe under many-core contention
+    reads LOW, so the fallback never fakes a hot box as quiet — but a
+    half-dead probe never hangs the run either)."""
     import struct
 
     cores = sorted(_ALL_CORES)
@@ -91,20 +102,27 @@ def _probe_wide_ms(nproc: int = 32) -> float:
             try:
                 os.sched_setaffinity(0, {cores[i % len(cores)]})
                 os.write(wfd, struct.pack("d", _probe_ms()))
+            except BaseException:
+                pass  # missing sample → parent sees a short stream
             finally:
                 os._exit(0)
         pids.append(pid)
-    vals = []
-    for _ in range(nproc):
-        buf = b""
-        while len(buf) < 8:  # 8-byte pipe writes are atomic (< PIPE_BUF)
-            buf += os.read(rfd, 8 - len(buf))
-        vals.append(struct.unpack("d", buf)[0])
+    os.close(wfd)  # parent's write end — EOF once every child exits
+    buf = b""
+    while True:
+        chunk = os.read(rfd, 8 * nproc)
+        if not chunk:
+            break
+        buf += chunk
+    os.close(rfd)
     for pid in pids:
         os.waitpid(pid, 0)
-    os.close(rfd)
-    os.close(wfd)
-    return sorted(vals)[(len(vals) * 7) // 8]
+    vals = sorted(
+        struct.unpack("d", buf[i:i + 8])[0]
+        for i in range(0, len(buf) - len(buf) % 8, 8))
+    if len(vals) < (nproc + 1) // 2:
+        return _probe_ms()
+    return vals[(len(vals) * 7) // 8]
 
 
 PROBE_CAL = None  # set once in main()
@@ -127,22 +145,43 @@ def _wait_for_quiet(max_wait_s: float = 180.0) -> tuple[float, float, float]:
     burst onset by tens of seconds — the wide probe reacts immediately).
     Our own process is idle here, so all three measure the co-tenants'.
     Samples are never DROPPED retroactively — this only delays the start,
-    the same admission rule for both levels (no per-level bias). Returns
+    the same admission rule for both levels (no per-level bias).
+
+    Calibration is FROZEN before the first timed session (see
+    _calibrate): round-4 advice found the old mid-run floor tracking made
+    per-sample ratios use different denominators across the run (not
+    mutually comparable) and tightened the gate over time, so the level
+    measured second in a cycle faced a stricter gate than the first —
+    contradicting the documented "same admission rule, no per-level
+    bias". Raw probe ms are also recorded per sample so every ratio can
+    be recomputed against any floor at report time. Returns
     (probe_ms, wide_ms, load1) for the sample record."""
-    global PROBE_CAL, PROBE_WIDE_CAL
     deadline = time.perf_counter() + max_wait_s
     p, w, ld = _probe_ms(), _probe_wide_ms(), _load1()
     while (p > 1.4 * PROBE_CAL or w > 1.5 * PROBE_WIDE_CAL
            or ld > 10.0) and time.perf_counter() < deadline:
         time.sleep(5)
         p, w, ld = _probe_ms(), _probe_wide_ms(), _load1()
-    # floor tracking: calibration taken at startup may itself have been
-    # contended; any quieter later reading becomes the new floor, so the
-    # gate only ever tightens (the wide probe's quiet readings drift ~1.4×
-    # with background load, which would otherwise flap a fixed threshold)
-    PROBE_CAL = min(PROBE_CAL, p)
-    PROBE_WIDE_CAL = min(PROBE_WIDE_CAL, w)
     return p, w, ld
+
+
+def _calibrate(max_wait_s: float = 300.0) -> tuple[float, float]:
+    """Dedicated quiet-floor search BEFORE the first timed session
+    (round-4 advice: freeze calibration instead of drifting it mid-run).
+    Takes min-of-several readings of both probes; while the box looks
+    busy (load1 > 10, a contended calibration would mis-scale every
+    ratio in the run) it keeps sampling, up to ``max_wait_s``, always
+    keeping the minimum seen. The returned floors are then immutable
+    for the whole run: one denominator for every recorded ratio, one
+    admission threshold for every sample."""
+    p = min(_probe_ms() for _ in range(7))
+    w = min(_probe_wide_ms() for _ in range(3))
+    deadline = time.perf_counter() + max_wait_s
+    while _load1() > 10.0 and time.perf_counter() < deadline:
+        time.sleep(5)
+        p = min(p, _probe_ms())
+        w = min(w, _probe_wide_ms())
+    return p, w
 
 
 def _cpu_snap() -> list[int]:
@@ -159,8 +198,10 @@ def _steal_pct(a: list[int], b: list[int]) -> float:
 def measure(cpus: int, corpus_path: str) -> list[tuple[float, ...]]:
     """One session at `cpus`: warmup, then RUNS_PER_SESSION timed runs.
     Returns every sample as (elapsed, steal_pct, probe_ratio,
-    wide_probe_ratio, load1) — the interference signals read at each
-    sample's admission document co-tenant contention per sample.
+    wide_probe_ratio, load1, probe_ms, wide_ms) — the interference
+    signals read at each sample's admission document co-tenant
+    contention per sample; the raw ms let ratios be recomputed against
+    any floor at report time (calibration is frozen, never drifted).
 
     The whole measurement is CPU-affinity-confined to `cpus` cores: Spark's
     Python UDF workers are separate OS processes that the scheduler would
@@ -211,7 +252,8 @@ def measure(cpus: int, corpus_path: str) -> list[tuple[float, ...]]:
             elapsed = time.perf_counter() - t0
             vals.append((elapsed, _steal_pct(c0, _cpu_snap()),
                          round(probe / PROBE_CAL, 2),
-                         round(wide / PROBE_WIDE_CAL, 2), load1))
+                         round(wide / PROBE_WIDE_CAL, 2), load1,
+                         round(probe, 1), round(wide, 1)))
         return vals
     finally:
         spark.stop()
@@ -237,8 +279,7 @@ def main() -> None:
         p.read_bytes()
 
     global PROBE_CAL, PROBE_WIDE_CAL
-    PROBE_CAL = min(_probe_ms() for _ in range(7))
-    PROBE_WIDE_CAL = min(_probe_wide_ms() for _ in range(3))
+    PROBE_CAL, PROBE_WIDE_CAL = _calibrate()
 
     cycles = []
     for c in range(CYCLES):
@@ -256,10 +297,8 @@ def main() -> None:
             "t8_sec": round(t8, 2), "t32_sec": round(t32, 2),
             "t8_median_sec": round(med8, 2),
             "t32_median_sec": round(med32, 2),
-            "samples8": [[round(e, 2), s, p, w, ld]
-                         for e, s, p, w, ld in res[8]],
-            "samples32": [[round(e, 2), s, p, w, ld]
-                          for e, s, p, w, ld in res[32]],
+            "samples8": [[round(v[0], 2), *v[1:]] for v in res[8]],
+            "samples32": [[round(v[0], 2), *v[1:]] for v in res[32]],
             "docs_per_sec_8": round(N_DOCS / t8, 1),
             "docs_per_sec_32": round(N_DOCS / t32, 1),
             "efficiency": round((t8 / t32) / 4.0, 3),
@@ -334,8 +373,12 @@ yet quadruples a local[32] run while leaving the 8-core-confined
 local[8] nearly intact — exactly the asymmetry that fakes a scaling
 failure; 32 concurrent loops must share the box with that tenant, so
 their p87.5 time rises the way the wide level's stage-barrier runtime does.
-Every sample's [elapsed, steal%, probe_ratio, wide_probe_ratio, load1]
-is in the JSON output.
+Probe calibration is FROZEN by a dedicated quiet-floor search before the
+first timed session (no mid-run floor drift: every ratio shares one
+denominator and every sample faces the identical gate). Every sample's
+[elapsed, steal%, probe_ratio, wide_probe_ratio, load1, probe_ms, wide_ms]
+is in the JSON output; the raw ms allow recomputing ratios against any
+floor at report time.
 
 | cycle | order | best[8] s | best[32] s | med[8] s | med[32] s | docs/s @8 | docs/s @32 | eff (best) | eff (median) |
 |---|---|---|---|---|---|---|---|---|---|
