@@ -36,8 +36,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
-CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 8  # even → both orders
+def _argv_int(i: int, default: int) -> int:
+    # bench.py imports this module for the probe/gate helpers; its own
+    # argv (if the driver ever passes one) must not crash the import
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+N_DOCS = _argv_int(1, 960_000)
+CYCLES = _argv_int(2, 8)  # even → both orders
 # EQUAL attempts per level (round-2 judge/advice finding: asymmetric
 # best-of-N gives the level with more attempts a stochastic noise
 # advantage). Per-level medians are reported alongside best-of-N so the
