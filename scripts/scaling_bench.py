@@ -313,7 +313,17 @@ def main() -> None:
             "efficiency": round((t8 / t32) / 4.0, 3),
             "efficiency_median": round((med8 / med32) / 4.0, 3),
         })
+        # Checkpoint after EVERY completed cycle: the report on disk always
+        # reflects the cycles finished so far, so an interrupted run (the
+        # sandbox can kill long processes) still leaves a valid artifact
+        # instead of discarding hours of samples.
+        _report(cycles, planned_cycles=CYCLES)
 
+    result = _report(cycles, planned_cycles=CYCLES)
+    print(json.dumps(result))
+
+
+def _report(cycles: list, planned_cycles: int) -> dict:
     eff = statistics.median(c["efficiency"] for c in cycles)
     eff_med = statistics.median(c["efficiency_median"] for c in cycles)
     by_order = {
@@ -336,8 +346,9 @@ def main() -> None:
               "median_efficiency_by_order": by_order,
               "median_efficiency_by_order_of_medians": by_order_med,
               "best_docs_per_sec_8": best8,
-              "best_docs_per_sec_32": best32}
-    print(json.dumps(result))
+              "best_docs_per_sec_32": best32,
+              "cycles_completed": len(cycles),
+              "cycles_planned": planned_cycles}
 
     rows = "\n".join(
         f"| {c['cycle']} | {c['order']} | {c['t8_sec']} | {c['t32_sec']} | "
@@ -398,9 +409,14 @@ Median-of-medians efficiency = {eff_med:.3f}.
 Per-order medians (best-of-N): {order_rows}.
 Per-order medians (per-level medians): {order_rows_med}.
 Best throughput: {best8} docs/s at local[8], {best32} docs/s at local[32].
+Cycles completed: {len(cycles)} of {planned_cycles} planned (the report is
+checkpointed after every cycle, so an interrupted run reports the cycles
+that finished).
 
 Reproduce: `python scripts/scaling_bench.py {N_DOCS} {CYCLES}`
 """)
+    (bench_dir / "scaling_r5.json").write_text(json.dumps(result, indent=1))
+    return result
 
 
 if __name__ == "__main__":
