@@ -65,6 +65,10 @@ def main() -> None:
         app="langid_mr_spark-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        # 8 MB scan splits: the small-file bench corpus otherwise packs
+        # into ~40 splits and the UDF-heavy scan stage runs local[32] at
+        # 62.5 % occupancy (see pipeline.session docstring / BENCH notes)
+        max_partition_bytes="8m",
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -42,11 +42,23 @@ from .functions import exprs as X
 
 def session(app: str = "langid_mr_spark", master: str | None = None,
             shuffle_partitions: int = 32, arrow_batch: int = 2048,
-            driver_memory: str = "24g") -> SparkSession:
+            driver_memory: str = "24g",
+            max_partition_bytes: str | None = None) -> SparkSession:
     """Opinionated session builder. ``arrow_batch`` caps Arrow batch rows so
     long documents cannot blow up Python-worker memory (SURVEY.md §4.1).
     ``driver_memory`` matters in local mode where the driver IS the executor;
-    on a real cluster size executors via spark-submit instead."""
+    on a real cluster size executors via spark-submit instead.
+
+    ``max_partition_bytes`` overrides ``spark.sql.files.maxPartitionBytes``
+    (e.g. "8m"). The default 128 MB packs a small-file corpus into so few
+    scan splits that the split count, not the core count, caps parallelism:
+    the bench corpus (256 × ~0.6 MB files) packed into ~40 splits, so
+    local[32] ran the UDF-heavy scan stage in 2 waves with the second wave
+    25 % occupied (62.5 % occupancy ceiling → measured 0.55 scaling
+    efficiency on a quiet box), while local[8] got 5 even waves. The scale
+    rule is tasks ≥ 3-4× slots with even waves — at 100 TB the default
+    split size already yields millions of tasks, but a benchmark-scale
+    input needs the split size lowered to keep every core busy."""
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
@@ -59,6 +71,8 @@ def session(app: str = "langid_mr_spark", master: str | None = None,
         import os
         if os.path.isdir("/dev/shm"):
             b = b.config("spark.local.dir", "/dev/shm/spark-local")
+    if max_partition_bytes:
+        b = b.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     return (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
