@@ -37,6 +37,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a table by a unique key so expensive per-row
+    projections downstream run on every core (optimization guide §2.5
+    "input skew ... repartition immediately after the read").
+
+    The testdata tables are each ONE parquet file with ONE row group, and a
+    row group is the unit of scan parallelism — so without this, every
+    per-document expression chain runs in a single task regardless of
+    split-size configs (measured: stopword_ratio 5.7 s single-task vs 0.4 s
+    spread, sf1.0 local[32]). The shuffle moves each row once (a few MB
+    here); the expensive projection stays ABOVE the exchange. Sized from
+    defaultParallelism, not a constant, so cluster runs scale with the
+    executor count; explicit numPartitions keeps AQE from coalescing the
+    tiny-by-bytes (but compute-heavy) exchange back to one partition.
+    Results are unaffected: aggregations downstream are over integers /
+    per-row values, and every contract query's final orderBy key is
+    unique."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -51,9 +72,19 @@ def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterator pandas UDFs — no SQL oracle (rows-only check)."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = _t(spark, sf_dir, "documents").withColumnRenamed("lang", "src_lang")
-    gated = gate.apply_gate(docs, text_col="text",
-                            persist_level=StorageLevel.DISK_ONLY)
+    # r06: (a) spread the single-row-group scan so the scorer UDFs, the
+    # heuristic chain and the DISK_ONLY persist run on every core (guide
+    # §2.5 — the whole cascade previously ran in ONE task); (b) bound the
+    # text to PROBE_CHARS *before* the cascade and drop the unused columns —
+    # every branch of the cascade reads only probe(text) (pass 1 scores the
+    # probe, pass 2 vad-cleans it, pass 3 ppl-scores it), so decisions are
+    # unchanged while the persisted stage and the Arrow transfers carry
+    # probe-bounded bytes only (guide §2.3 "project before the exchange").
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    probed = docs.select(X.probe(F.col("text")).alias("text"))
+    gated = gate.apply_gate(probed, text_col="text",
+                            persist_level=StorageLevel.DISK_ONLY,
+                            text_is_probe=True)
     return (
         gated.groupBy("gate_decision", "keep")
         .agg(F.count(F.lit(1)).alias("docs"))
@@ -219,11 +250,20 @@ def q_union_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12 (purge_db.py:77-108): left-anti join — customers with no orders."""
+    """S12 (purge_db.py:77-108): left-anti join — customers with no orders.
+
+    r06: the probe side is reduced to DISTINCT order keys before the join —
+    a left-anti join is invariant to right-side duplicates, so this shuffles
+    ≤ one row per customer instead of one per order (guide §2.3 "aggregate
+    before you shuffle"), and when the distinct key set is small enough AQE
+    upgrades the sort-merge join to a broadcast join at runtime. Scale-safe:
+    the reduction is a partial-aggregate, never a collect."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    order_keys = orders.select("o_custkey").distinct()
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(order_keys, cust.c_custkey == order_keys.o_custkey,
+                  "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -287,11 +327,21 @@ def q_json_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates at most 50 contract queries, and r03 silently dropped the
     51st (null_safe_projection) — folding F9 here keeps its semantics
     hash-checked every round."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    missing = F.get_json_object(F.col("props"), "$.absent").cast("long")
+    # r06: json_tuple parses props ONCE for both paths (get_json_object ×2
+    # parsed every row twice; both extract the same value string for a
+    # top-level key, then the same string→long cast applies), and the
+    # single-row-group events file is spread across cores before the parse
+    # (guide §2.5 / §4 "pass only the columns the function needs"). Sums
+    # are over longs — partition order cannot change them.
+    ev = _spread(_t(spark, sf_dir, "events"), "event_id")
+    plucked = ev.select(
+        "event_type",
+        F.json_tuple(F.col("props"), "k", "absent").alias("_k", "_absent"),
+    )
+    k = F.col("_k").cast("long")
+    missing = F.col("_absent").cast("long")
     return (
-        ev.withColumn("k", k)
+        plucked.withColumn("k", k)
         .withColumn("kd", F.coalesce(missing, F.lit(-1)))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"),
@@ -307,24 +357,44 @@ def q_json_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 (lang_gate.py:92-99): tokenizer — count + first token per doc."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = X.tokenize(F.col("text"))
-    return docs.select(
+    """X1 (lang_gate.py:92-99): tokenizer — count + first token per doc.
+
+    r06: tokens are materialized in their own projection (expressions with
+    lambda variables are excluded from codegen subexpression elimination,
+    so inlining ``tokenize`` into both output columns re-split the text
+    twice per row), and the single-row-group scan is spread across cores
+    (guide §2.5)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", X.tokenize(F.col("text")).alias("_toks"))
+    return toked.select(
         "doc_id",
-        X.token_count(toks).alias("n_tokens"),
-        F.element_at(toks, 1).alias("first_token"),
+        X.token_count(F.col("_toks")).alias("n_tokens"),
+        F.element_at(F.col("_toks"), 1).alias("first_token"),
     ).orderBy("doc_id")
 
 
 def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2/A12 (lang_gate.py:102-108): per-doc EN stopword hits and ratio."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = X.tokenize(F.col("text"))
-    return docs.select(
+    """X2/A12 (lang_gate.py:102-108): per-doc EN stopword hits and ratio.
+
+    r06: staged projections give exactly-once evaluation — the inlined form
+    evaluated ``tokenize`` 4× and the stopword InSet filter 2× per row
+    (lambda-bearing expressions are excluded from codegen subexpression
+    elimination; see the r06 plan diff), and the whole chain ran in ONE
+    task (single-row-group file). Ratio arithmetic is unchanged:
+    hits / n as an int→double IEEE division on the same two counts."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", X.tokenize(F.col("text")).alias("_toks"))
+    counted = toked.select(
         "doc_id",
-        X.stopword_hits(toks, "en").alias("en_hits"),
-        X.stopword_ratio(toks, "en").alias("en_ratio"),
+        F.size(F.col("_toks")).alias("_n"),
+        X.stopword_hits(F.col("_toks"), "en").alias("en_hits"),
+    )
+    return counted.select(
+        "doc_id",
+        "en_hits",
+        F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+            F.col("en_hits").cast("double") / F.col("_n").cast("double")
+        ).alias("en_ratio"),
     ).orderBy("doc_id")
 
 
@@ -337,8 +407,10 @@ def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8 (runner.py:108): first-10-words snippet."""
-    docs = _t(spark, sf_dir, "documents")
+    """X8 (runner.py:108): first-10-words snippet. r06: spread across cores
+    (single-row-group input file, guide §2.5); the expression itself already
+    evaluates its one split exactly once."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", X.snippet_first_words(F.col("text"), 10).alias("snippet")
     ).orderBy("doc_id")
@@ -362,12 +434,23 @@ def q_iso_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21 (north_star): PII/toxicity scrub is a no-op on clean text —
-    asserted by comparing scrubbed output to input."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        (SCRUB.scrub_col(F.col("text")) == F.col("text")).alias("unchanged"),
-    ).orderBy("doc_id")
+    asserted by comparing scrubbed output to input.
+
+    r06: computed as OR-over-detectors on the original text instead of
+    running the 4-pass regexp_replace chain and comparing — the exact
+    equivalence this query's own DuckDB oracle already relies on (see
+    ``_re2_detector``: the scrubbed text differs from the input iff the
+    first rule to fire matches the original, every replacement token being
+    inert w.r.t. later rules and never equal to its match). rlike scans
+    allocate no intermediate strings and the OR short-circuits; NULL text
+    still yields NULL (rlike(NULL) is NULL, as was NULL == NULL). Spread
+    across cores per guide §2.5 (single-row-group input file)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    det = None
+    for _, pattern, _ in SCRUB.SCRUB_RULES:
+        m = F.col("text").rlike(pattern)
+        det = m if det is None else (det | m)
+    return docs.select("doc_id", (~det).alias("unchanged")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -653,13 +736,17 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4 heuristic quality metrics + first failed rule per doc."""
-    docs = _t(spark, sf_dir, "documents")
-    cols = Q.quality_columns(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[c.alias(k) for k, c in cols.items()],
-        Q.quality_fail_reason(F.col("text")).alias("quality_fail_reason"),
+    """Gopher/C4 heuristic quality metrics + first failed rule per doc.
+
+    r06: staged exactly-once evaluation (quality.with_quality) — the old
+    inlined form evaluated every metric twice (once for its output column,
+    once inside the fail-reason chain) with each reference re-tokenizing
+    the text; plus core-spreading for the single-row-group scan."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id") \
+        .select("doc_id", "text")
+    out = Q.with_quality(docs, "text", keep_metrics=True)
+    return out.select(
+        "doc_id", *Q.METRIC_COLS, "quality_fail_reason",
     ).orderBy("doc_id")
 
 

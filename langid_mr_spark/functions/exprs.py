@@ -107,31 +107,59 @@ def is_music_only(col: Column) -> Column:
     Wrapped in an exact necessary-condition guard: a music-only verdict
     requires a residue token ∈ {music, musique}, which post-glyph-expansion
     implies the raw text contains "musi" (case-insensitive) or a music
-    glyph. Docs failing the guard skip the whole strip/tokenize/HOF chain
+    glyph. Docs failing the guard skip the whole tokenize/HOF chain
     (CaseWhen branches evaluate lazily per row)."""
     guard = col.rlike("(?iu)musi|[" + "".join(C.MUSIC_UNICODE_MARKERS) + "]")
     return F.when(guard, _is_music_only_full(col)).otherwise(F.lit(False))
 
 
 def _is_music_only_full(col: Column) -> Column:
-    kw = sorted(C.MUSIC_KEYWORDS)
+    """r06 exactly-once rewrite — same boolean as textnorm.is_music_only
+    (parity-asserted by tests/test_exprs.py), restructured because a Column
+    expression cannot alias its own subtrees and lambda-bearing expressions
+    are excluded from codegen subexpression elimination, so the previous
+    formulation re-evaluated the bracket-strip chain (32 regexp_replace) 5×
+    and the tokenizer 4× per guarded row (measured: 160 strip regexes in
+    the pipeline plan; the pass-1 plan now carries ZERO).
+
+    Two equivalence-preserving reductions, then a single-pass fold:
+
+    1. ``strip_outer_brackets`` is dropped: it only ever removes bracket
+       characters and surrounding whitespace, both of which are token
+       DELIMITERS for ``tokenize`` ([^\\w']+ splits), so the token array of
+       the stripped string equals that of the unstripped string; and its
+       companion ``working != ""`` conjunct is subsumed — a working string
+       that strips to empty has no tokens, so ``size(tokens) > 0`` already
+       rejects it. (Verified: 0 mismatches over the 600k-doc bench corpus.)
+    2. ``residue_all_kw`` (every non-filler token is a keyword) is implied
+       by ``all_kw_or_filler`` (every token ∈ kw ∪ fillers): a token that
+       is in kw ∪ fillers and not in fillers is in kw.
+    3. The ``working0 != ""`` / ``working != ""`` conjuncts and the
+       whitespace trim are subsumed the same way: a trimmed-empty or
+       stripped-empty string has no tokens, and trimming (like lowering —
+       ``tokenize`` lowers internally, and glyph expansion commutes with
+       both) never changes the token array.
+
+    What remains — non-null ∧ tokens nonempty ∧ all tokens ∈ kw∪fillers ∧
+    some token ∉ fillers — folds into ONE `aggregate` pass over one
+    tokenize, with a primitive (token-count, all-kw-or-filler,
+    residue-count) struct as the accumulator."""
     kw_filler = sorted(C.MUSIC_KEYWORDS | C.MUSIC_FILLER_TOKENS)
     fillers = sorted(C.MUSIC_FILLER_TOKENS)
-    working0 = _ustrip(col)
-    working = strip_outer_brackets(F.lower(expand_music_glyphs(working0)))
-    tokens = tokenize(working)
-    all_kw_or_filler = F.forall(tokens, lambda t: t.isin(*kw_filler))
-    residue = F.filter(tokens, lambda t: ~t.isin(*fillers))
-    residue_all_kw = F.forall(residue, lambda t: t.isin(*kw))
-    return (
-        col.isNotNull()
-        & (working0 != "")
-        & (working != "")
-        & (F.size(tokens) > 0)
-        & all_kw_or_filler
-        & (F.size(residue) > 0)
-        & residue_all_kw
+    tokens = tokenize(expand_music_glyphs(col))
+    verdict = F.aggregate(
+        tokens,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("allk"),
+                 F.lit(0).alias("nres")),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["allk"] & t.isin(*kw_filler)).alias("allk"),
+            (a["nres"] + F.when(t.isin(*fillers), 0).otherwise(1))
+            .alias("nres"),
+        ),
+        lambda a: (a["n"] > 0) & a["allk"] & (a["nres"] > 0),
     )
+    return col.isNotNull() & verdict
 
 
 # --- X6 safe probability ------------------------------------------------------

@@ -75,6 +75,22 @@ def session(app: str = "langid_mr_spark", master: str | None = None,
         b = b.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     return (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # r06: CollapseProject re-merges the engine's staged projections
+        # around Python-UDF extraction and inlines every alias into every
+        # consumer — and expressions containing lambda variables are
+        # excluded from codegen subexpression elimination, so each inlined
+        # reference re-evaluates the whole subtree at runtime. For this
+        # engine's expression library (tokenize/HOF/regex chains) that
+        # meant the pass-1 plan re-tokenized each document up to 10× and
+        # carried 5 copies of the bracket-strip chain (see
+        # OPTIMIZATION_r06.md, plans/r06/). Excluding the rule keeps the
+        # deliberate exactly-once staging; adjacent Projects still fuse
+        # inside one WholeStageCodegen function, so plan depth costs
+        # nothing at runtime. Measured: bench pipeline 20.0 s → 14.5 s
+        # (paired ABAB, sf1.0 local[32]); no query's results change (the
+        # rule is a pure plan rewrite).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.CollapseProject")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -264,12 +280,13 @@ def run_pipeline(
 
     # Gopher/C4-style quality rules (north_star) are computed on the FULL
     # extracted text — doc-length/repetition rules need the whole document —
-    # exactly once, before bounding.
+    # exactly once, before bounding. r06: staged evaluation (with_quality)
+    # materializes the token array and each metric once per row; the old
+    # inlined Column form re-tokenized the full text at nearly every metric
+    # reference (no subexpression elimination through lambda variables).
     from . import quality as Q
 
-    extracted = extracted.withColumn(
-        "quality_fail_reason", Q.quality_fail_reason(F.col("extracted"))
-    )
+    extracted = Q.with_quality(extracted, "extracted")
 
     # Bound per-row carried state: everything downstream (probe, snippet
     # scrub) reads at most PROBE_CHARS of the document, so only that prefix

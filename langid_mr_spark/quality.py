@@ -34,9 +34,8 @@ REASONS = ("too_few_words", "too_many_words", "mean_word_len",
            "symbol_ratio", "repetitive", "low_stopword_density")
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
-    """The five metric columns, shared by the pass/fail projection."""
-    tokens = X.tokenize(text)
+def _metric_exprs(text: Column, tokens: Column) -> dict[str, Column]:
+    """The five metric expressions over a caller-supplied token column."""
     n = F.size(tokens)
     nd = F.size(F.array_distinct(tokens))
     total_tok_len = F.aggregate(
@@ -62,9 +61,19 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_fail_reason(text: Column) -> Column:
-    """First failed rule in priority order; NULL = passes all rules."""
-    m = quality_columns(text)
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The five metric columns, shared by the pass/fail projection.
+
+    Column-only form: ``tokenize`` is inlined into every metric, so each
+    reference re-splits the text (lambda-bearing expressions are excluded
+    from codegen subexpression elimination). Fine for tests and tiny
+    inputs; data paths should use ``with_quality`` (r06), which stages the
+    token array and each metric into materialized columns for exactly-once
+    evaluation."""
+    return _metric_exprs(text, X.tokenize(text))
+
+
+def _fail_reason_from(m: dict[str, Column]) -> Column:
     return (
         F.when(m["n_words"] < MIN_WORDS, REASONS[0])
         .when(m["n_words"] > MAX_WORDS, REASONS[1])
@@ -74,6 +83,48 @@ def quality_fail_reason(text: Column) -> Column:
         .when(m["dup_token_ratio"] > MAX_DUP_TOKEN_RATIO, REASONS[4])
         .when(m["stopword_density"] < MIN_STOPWORD_DENSITY, REASONS[5])
     )
+
+
+def quality_fail_reason(text: Column) -> Column:
+    """First failed rule in priority order; NULL = passes all rules.
+
+    Column-only form (see ``quality_columns`` caveat): the when-chain
+    references ``n_words``/``mean_word_len`` twice each, so a passing
+    document re-tokenizes the text ~10×. Data paths use ``with_quality``."""
+    return _fail_reason_from(quality_columns(text))
+
+
+# column names produced by with_quality(..., keep_metrics=True), in order
+METRIC_COLS = ("n_words", "mean_word_len", "symbol_ratio",
+               "dup_token_ratio", "stopword_density")
+
+
+def with_quality(df, text_col: str, out_col: str = "quality_fail_reason",
+                 keep_metrics: bool = False):
+    """Append ``out_col`` (and optionally the five metric columns) with
+    EXACTLY-ONCE evaluation (r06, guide §1.2 "per-task work").
+
+    Three staged projections: (1) materialize the token array, (2) the five
+    metrics over that array, (3) the priority when-chain over the metric
+    attributes. Each stage's aliases are non-cheap and referenced more than
+    once downstream, so CollapseProject cannot inline them back — the plan
+    keeps three Projects and every subtree evaluates once per row. The
+    inlined Column form re-evaluated ``tokenize`` at nearly every metric
+    reference (no subexpression elimination through lambda variables):
+    ~10 splits + 4 token-array HOF passes per passing document, measured
+    2.6× slower on the bench pipeline's quality stage. Same expressions,
+    same priority order — results are bit-identical."""
+    base = list(df.columns)
+    text = F.col(text_col)
+    toked = df.select("*", X.tokenize(text).alias("_q_toks"))
+    m = _metric_exprs(text, F.col("_q_toks"))
+    staged = toked.select(
+        *base, *[m[k].alias(f"_q_{k}") for k in METRIC_COLS])
+    m_attr = {k: F.col(f"_q_{k}") for k in METRIC_COLS}
+    keep = ([F.col(f"_q_{k}").alias(k) for k in METRIC_COLS]
+            if keep_metrics else [])
+    return staged.select(
+        *base, *keep, _fail_reason_from(m_attr).alias(out_col))
 
 
 def quality_one(text: str | None) -> dict[str, Any]:
