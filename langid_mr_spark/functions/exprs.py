@@ -175,13 +175,26 @@ def _ws_words(col: Column) -> Column:
     return F.filter(F.split(col, _WS), lambda w: w != F.lit(""))
 
 
-def truncate_to_words(col: Column, max_words: int = 10) -> Column:
-    """twin: textnorm.truncate_to_words (utils.py:53-60)."""
-    words = _ws_words(col)
+def ws_words(col: Column) -> Column:
+    """Public staging handle for the whitespace-word split (r06): data
+    paths materialize this once and use ``truncate_from_words``."""
+    return _ws_words(col)
+
+
+def truncate_from_words(words: Column, original: Column,
+                        max_words: int = 10) -> Column:
+    """truncate_to_words over a pre-materialized word array (r06 staged
+    form — the Column-only form splits the text twice per row)."""
     return F.when(
         F.size(words) > max_words,
-        F.concat(F.array_join(F.slice(words, 1, max_words), " "), F.lit(" ...")),
-    ).otherwise(col)
+        F.concat(F.array_join(F.slice(words, 1, max_words), " "),
+                 F.lit(" ...")),
+    ).otherwise(original)
+
+
+def truncate_to_words(col: Column, max_words: int = 10) -> Column:
+    """twin: textnorm.truncate_to_words (utils.py:53-60)."""
+    return truncate_from_words(_ws_words(col), col, max_words)
 
 
 def snippet_first_words(col: Column, n: int = 10) -> Column:

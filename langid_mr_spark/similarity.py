@@ -40,8 +40,39 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Column-only form: ``d`` is referenced twice (zero-guard + divisor),
+    so each pair computes 5 dot products (dot(a,a) ×2, dot(b,b) ×2,
+    dot(a,b)) — and norms are per-VECTOR quantities recomputed per PAIR.
+    Data paths stage per-side doubled vectors + norms once per row and
+    score with ``_cosine_staged`` (r06); results are bit-identical (same
+    IEEE ops, evaluated once)."""
     d = norm(a) * norm(b)
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def _dot_doubled(a: Column, b: Column) -> Column:
+    """Sequential-summation dot over already-double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_doubled(df: DataFrame, vec_col: str, d_col: str,
+                  n_col: str) -> DataFrame:
+    """Materialize the float64 copy and the norm of a vector column once
+    per row (norms are per-vector, not per-pair)."""
+    doubled = df.select("*", _to_double(F.col(vec_col)).alias(d_col))
+    return doubled.select(
+        "*", F.sqrt(_dot_doubled(F.col(d_col), F.col(d_col))).alias(n_col))
+
+
+def _cosine_staged(da: Column, db: Column, na: Column, nb: Column) -> Column:
+    """cosine() over pre-doubled arrays and pre-computed norms — the same
+    expressions as ``cosine``, each evaluated exactly once."""
+    d = na * nb
+    return F.when(d == 0, F.lit(0.0)).otherwise(_dot_doubled(da, db) / d)
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
@@ -50,10 +81,17 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the vector table, rank per query. The big side is never
     shuffled — only the per-query top-k aggregation moves data."""
-    joined = vectors.join(F.broadcast(queries)).select(
+    # r06: doubled copies and norms are per-VECTOR quantities — staged once
+    # per row on each side instead of recomputed per (query, vector) pair
+    # (the Column-only cosine() evaluated 5 dot products per pair).
+    v2 = _with_doubled(vectors.select(id_col, vec_col), vec_col,
+                       "_vd", "_vn")
+    q2 = _with_doubled(queries, qvec_col, "_qd", "_qn")
+    joined = v2.join(F.broadcast(q2)).select(
         F.col(qid_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("sim"),
+        _cosine_staged(F.col("_vd"), F.col("_qd"),
+                       F.col("_vn"), F.col("_qn")).alias("sim"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -126,16 +164,35 @@ def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     probes = F.array(
         *[F.col("_qbucket").bitwiseXOR(F.lit(m)) for m in masks])
     q = q.select("*", F.explode(probes).alias("_bucket")).drop("_qbucket")
-    joined = v.join(F.broadcast(q), "_bucket").select(
-        F.col(qid_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("sim"),
-    )
+    joined = v.join(F.broadcast(q), "_bucket")
+    scored = _score_pairs(joined, qid_col, id_col, vec_col, qvec_col)
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, F.round("sim", 6).alias("sim"))
+    )
+
+
+def _score_pairs(joined: DataFrame, qid_col: str, id_col: str,
+                 vec_col: str, qvec_col: str) -> DataFrame:
+    """(qid, id, sim) with staged exactly-once cosine (r06): doubled
+    copies, then norms, then the similarity — the Column-only cosine()
+    evaluated 5 dot products and up to 5 float64 conversions per pair."""
+    doubled = joined.select(
+        F.col(qid_col), F.col(id_col),
+        _to_double(F.col(vec_col)).alias("_vd"),
+        _to_double(F.col(qvec_col)).alias("_qd"),
+    )
+    normed = doubled.select(
+        qid_col, id_col, "_vd", "_qd",
+        F.sqrt(_dot_doubled(F.col("_vd"), F.col("_vd"))).alias("_vn"),
+        F.sqrt(_dot_doubled(F.col("_qd"), F.col("_qd"))).alias("_qn"),
+    )
+    return normed.select(
+        qid_col, id_col,
+        _cosine_staged(F.col("_vd"), F.col("_qd"),
+                       F.col("_vn"), F.col("_qn")).alias("sim"),
     )
 
 
@@ -258,14 +315,11 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                                      anchors=anchors))
          .select("*", F.explode("_probes").alias("_cell"))
          .drop("_probes"))
-    joined = v.join(F.broadcast(q), "_cell").select(
-        F.col(qid_col),
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col(qvec_col)).alias("sim"),
-    )
+    joined = v.join(F.broadcast(q), "_cell")
+    scored = _score_pairs(joined, qid_col, id_col, vec_col, qvec_col)
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, F.round("sim", 6).alias("sim"))
     )
@@ -281,13 +335,18 @@ def lsh_table_buckets(vectors: DataFrame, dim: int, tables: int = 16,
     [t·planes, (t+1)·planes) of one deterministic pool, so any (tables,
     planes) split of the same pool is reproducible in SQL."""
     pool = _hyperplanes(dim, tables * planes)
+    # r06: the float64 copy of the vector is materialized ONCE per row —
+    # the previous inline _to_double ran once per (table, plane), i.e.
+    # tables×planes (= 64 at the defaults) array conversions per vector.
+    doubled = vectors.select(F.col(id_col).alias("id"),
+                             _to_double(F.col(vec_col)).alias("_vd"))
     entries = []
     for t in range(tables):
         bucket = F.lit(0)
         for b, plane in enumerate(pool[t * planes:(t + 1) * planes]):
             proj = F.aggregate(
                 F.zip_with(
-                    _to_double(F.col(vec_col)),
+                    F.col("_vd"),
                     F.array(*[F.lit(p) for p in plane]),
                     lambda x, y: x * y,
                 ),
@@ -297,8 +356,8 @@ def lsh_table_buckets(vectors: DataFrame, dim: int, tables: int = 16,
             bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
         entries.append(
             F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return vectors.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("tb")
+    return doubled.select(
+        "id", F.explode(F.array(*entries)).alias("tb")
     ).select("id", "tb.table", "tb.bucket")
 
 
@@ -324,13 +383,31 @@ def lsh_near_dup_pairs(vectors: DataFrame, threshold: float = 0.45,
         .distinct()
     )
     v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    return (
+    joined = (
         cands
         .join(v.withColumnsRenamed({"_vid": "id_a", "_v": "_va"}), "id_a")
         .join(v.withColumnsRenamed({"_vid": "id_b", "_v": "_vb"}), "id_b")
-        .select(
+    )
+    # r06: stage doubled copies and norms per candidate pair (exactly-once;
+    # the Column-only cosine() re-doubled each side up to 5× per pair).
+    # Staged AFTER the join so the shuffled rows still carry float32
+    # arrays, not the 2×-sized float64 copies.
+    doubled = joined.select(
+        "id_a", "id_b",
+        _to_double(F.col("_va")).alias("_vad"),
+        _to_double(F.col("_vb")).alias("_vbd"),
+    )
+    normed = doubled.select(
+        "id_a", "id_b", "_vad", "_vbd",
+        F.sqrt(_dot_doubled(F.col("_vad"), F.col("_vad"))).alias("_na"),
+        F.sqrt(_dot_doubled(F.col("_vbd"), F.col("_vbd"))).alias("_nb"),
+    )
+    return (
+        normed.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+            F.round(_cosine_staged(F.col("_vad"), F.col("_vbd"),
+                                   F.col("_na"), F.col("_nb")), 6)
+            .alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
