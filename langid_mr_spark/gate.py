@@ -302,11 +302,24 @@ def apply_gate(
 
 
 def with_derived(out: DataFrame) -> DataFrame:
-    """Derived columns over the unified gate output."""
+    """Derived columns over the unified gate output.
+
+    r06: the normalized decision/method/language strings are staged as
+    columns first — classify_gate_path + classify_pipeline_mode reference
+    lower(trim(coalesce(...))) ~14× between them, and every inlined
+    reference re-allocates the lowered copy per row. The classifier
+    when-chains then read the attributes (same comparisons, same order)."""
     prob_value = X.safe_probability(F.col("probability"))
     decision = F.col("gate_decision")
+    norm = lambda c: F.lower(F.trim(F.coalesce(c, F.lit(""))))  # noqa: E731
+    staged = out.select(
+        "*",
+        norm(F.col("gate_decision")).alias("_dn"),
+        norm(F.col("language")).alias("_ln"),
+        norm(F.col("detection_method")).alias("_mn"),
+    )
     return (
-        out.withColumn(
+        staged.withColumn(
             "mid_zone",
             (prob_value >= C.MID_LOWER) & (prob_value < C.MID_UPPER),
         )
@@ -317,16 +330,24 @@ def with_derived(out: DataFrame) -> DataFrame:
             .when(decision == C.DECISION_STRICT_REJECT, C.DROP_NON_ENFR_STRICT)
             .when(decision == C.DECISION_ERROR, C.DROP_ERROR),
         )
-        .withColumn("gate_path", classify_gate_path())
-        .withColumn("pipeline_mode", classify_pipeline_mode())
+        .withColumn("gate_path",
+                    classify_gate_path(F.col("_dn"), F.col("_ln")))
+        .withColumn("pipeline_mode",
+                    classify_pipeline_mode(F.col("_dn"), F.col("_mn")))
+        .drop("_dn", "_ln", "_mn")
     )
 
 
-def classify_gate_path() -> Column:
+def classify_gate_path(d: Column | None = None,
+                       lang: Column | None = None) -> Column:
     """gate_metrics.classify_gate_path (gate_metrics.py:52-90) as a
-    when-chain over the unified gate columns."""
-    d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
-    lang = F.lower(F.trim(F.coalesce(F.col("language"), F.lit(""))))
+    when-chain over the unified gate columns. Pass pre-normalized
+    (lower/trim/coalesce) decision + language columns on data paths so
+    the normalization evaluates once, not per branch (r06)."""
+    if d is None:
+        d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
+    if lang is None:
+        lang = F.lower(F.trim(F.coalesce(F.col("language"), F.lit(""))))
     return (
         F.when(F.col("music_only"), C.GATE_PATH_MUSIC_ONLY)
         .when(d == "no_speech_music_only", C.GATE_PATH_MUSIC_ONLY)
@@ -341,10 +362,14 @@ def classify_gate_path() -> Column:
     )
 
 
-def classify_pipeline_mode() -> Column:
-    """gate_metrics.classify_pipeline_mode (gate_metrics.py:93-129)."""
-    d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
-    m = F.lower(F.trim(F.coalesce(F.col("detection_method"), F.lit(""))))
+def classify_pipeline_mode(d: Column | None = None,
+                           m: Column | None = None) -> Column:
+    """gate_metrics.classify_pipeline_mode (gate_metrics.py:93-129). Same
+    pre-normalized-column convention as classify_gate_path (r06)."""
+    if d is None:
+        d = F.lower(F.trim(F.coalesce(F.col("gate_decision"), F.lit(""))))
+    if m is None:
+        m = F.lower(F.trim(F.coalesce(F.col("detection_method"), F.lit(""))))
     return (
         F.when(d == "fallback", C.PIPELINE_MODE_FALLBACK)
         .when((d == "no_speech_music_only") | F.col("music_only"),

@@ -43,7 +43,8 @@ from .functions import exprs as X
 def session(app: str = "langid_mr_spark", master: str | None = None,
             shuffle_partitions: int = 32, arrow_batch: int = 2048,
             driver_memory: str = "24g",
-            max_partition_bytes: str | None = None) -> SparkSession:
+            max_partition_bytes: str | None = None,
+            open_cost_bytes: str | None = None) -> SparkSession:
     """Opinionated session builder. ``arrow_batch`` caps Arrow batch rows so
     long documents cannot blow up Python-worker memory (SURVEY.md §4.1).
     ``driver_memory`` matters in local mode where the driver IS the executor;
@@ -73,6 +74,31 @@ def session(app: str = "langid_mr_spark", master: str | None = None,
             b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if max_partition_bytes:
         b = b.config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        # r06: scale the per-file open cost with the split size. The 4 MB
+        # default is tuned for 128 MB splits; against 8 MB splits it makes
+        # every ~1 MB corpus file "cost" 5 MB, so the packer emits ~1-2
+        # files per split and the task count tracks the FILE count — at
+        # sf1.0 that was 256 UDF-heavy tasks of ~2300 docs, each paying 3
+        # Python-node stream setups (measured pipeline 18-20 s). At
+        # openCost = maxPartitionBytes/16 the packer fills splits with
+        # data bytes again (43 tasks, 9-10.5 s — nearly 2×). Small inputs
+        # are unaffected: FilePartition's bytesPerCore floor
+        # (totalSize/defaultParallelism) keeps ≥ defaultParallelism splits
+        # at bench sf0.1 and below (measured: 32 tasks and 3.4 s at sf0.1
+        # with either setting). Production sessions that do not override
+        # max_partition_bytes keep Spark's defaults.
+        # ``open_cost_bytes`` overrides the derived value (e.g.
+        # scaling_bench pins "4m" to preserve its recorded one-file-per-
+        # split wave geometry across rounds).
+        if open_cost_bytes:
+            b = b.config("spark.sql.files.openCostInBytes", open_cost_bytes)
+        else:
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            s = str(max_partition_bytes).strip().lower()
+            mult = units.get(s[-1], 1)
+            nbytes = int(float(s[:-1] if s[-1] in units else s)) * mult
+            b = b.config("spark.sql.files.openCostInBytes",
+                         str(max(nbytes // 16, 64 * 1024)))
     return (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # r06: CollapseProject re-merges the engine's staged projections
